@@ -1,0 +1,363 @@
+"""Face-IJK <-> H3 index transforms, vectorized (H3 v3.6 semantics).
+
+This is the geometric heart of the engine: point -> cell encode,
+cell -> centroid decode, and cell -> boundary polygon, all as batch
+numpy over (N,) arrays so they can back Arrow-vectorized pandas UDFs.
+
+Derived lookup tables (face-ijk -> base cell / orientation, icosahedron
+face neighbors) come from .tables (numerically derived from the public
+constants; see tools/generate_tables.py).
+
+Golden parity targets (reference crate tests, themselves ported from
+h3-py / h3-js per /root/reference/src/lib.rs:58-61):
+  - encode:   /root/reference/src/index.rs:111-117
+  - decode:   /root/reference/src/index.rs:141-153
+  - boundary: /root/reference/src/region.rs:85-102
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geom, indexing as ix
+from .constants import (
+    BASE_CELL_FACE,
+    BASE_CELL_IJK,
+    BASE_CELL_IS_PENTAGON,
+    MAX_DIM_BY_CII_RES,
+    MAX_RES,
+    UNIT_SCALE_BY_CII_RES,
+)
+from .coordijk import (
+    UNIT_VECS,
+    down_ap3,
+    down_ap3r,
+    down_ap7,
+    down_ap7r,
+    hex2d_to_ijk,
+    ijk_normalize,
+    ijk_to_digit,
+    ijk_to_hex2d,
+    rotate60_ccw,
+    rotate60_cw,
+    up_ap7,
+    up_ap7r,
+)
+from .tables import get_tables
+
+# overage classification
+NO_OVERAGE, FACE_EDGE, NEW_FACE = 0, 1, 2
+
+# quadrant indices into the face-neighbor tables (0 = central face)
+Q_IJ, Q_KI, Q_JK = 1, 2, 3
+
+# cell vertices in the aperture 3 3r substrate grid (Class II), ccw from
+# the i-axis; Class III uses the 33r7r substrate.
+_VERTS_CII = np.array(
+    [[2, 1, 0], [1, 2, 0], [0, 2, 1], [0, 1, 2], [1, 0, 2], [2, 0, 1]], dtype=np.int64
+)
+_VERTS_CIII = np.array(
+    [[5, 4, 0], [1, 5, 0], [0, 5, 4], [0, 1, 5], [4, 0, 5], [5, 0, 1]], dtype=np.int64
+)
+
+
+# --------------------------------------------------------------------------
+# encode: geo -> H3
+# --------------------------------------------------------------------------
+
+def geo_to_h3(lat_deg, lng_deg, res: int) -> np.ndarray:
+    """(lat, lng) degrees -> H3 cell at `res`. NaN inputs -> 0 (invalid)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    bad = ~(np.isfinite(lat) & np.isfinite(lng))
+    lat = np.where(bad, 0.0, lat)
+    lng = np.where(bad, 0.0, lng)
+
+    face, ijk = _geo_to_face_ijk(lat, lng, res)
+    h = _face_ijk_to_h3(face, ijk, res)
+    return np.where(bad, np.int64(0), h)
+
+
+def _geo_to_face_ijk(lat, lng, res: int):
+    face, v = geom.geo_to_hex2d(lat, lng, res)
+    return face, hex2d_to_ijk(v)
+
+
+def _extract_digits(ijk: np.ndarray, res: int):
+    """Aggregate a res-`res` face coordinate up to res 0, recording the
+    per-resolution digits. Returns (digits (N,15) uint8, res0_ijk (N,3))."""
+    n = ijk.shape[0]
+    digits = np.zeros((n, MAX_RES), dtype=np.uint8)
+    cur = ijk.astype(np.int64)
+    for r in range(res, 0, -1):
+        last = cur
+        if r % 2 == 1:  # Class III
+            cur = up_ap7(cur)
+            center = down_ap7(cur)
+        else:
+            cur = up_ap7r(cur)
+            center = down_ap7r(cur)
+        diff = ijk_normalize(last - center)
+        digits[:, r - 1] = ijk_to_digit(diff)
+    return digits, cur
+
+
+def _face_ijk_to_h3(face: np.ndarray, ijk: np.ndarray, res: int) -> np.ndarray:
+    """H3 _faceIjkToH3, vectorized. face:(N,), ijk:(N,3)."""
+    t = get_tables()
+    n = face.shape[0]
+    digits, cur = _extract_digits(ijk, res)
+
+    # base cell lookup on the res-0 coordinate
+    i, j, k = cur[:, 0], cur[:, 1], cur[:, 2]
+    in_range = (i <= 2) & (j <= 2) & (k <= 2)
+    ic = np.clip(i, 0, 2)
+    jc = np.clip(j, 0, 2)
+    kc = np.clip(k, 0, 2)
+    base_cell = t.FACE_IJK_BASE_CELLS[face, ic, jc, kc]
+    rot = t.FACE_IJK_BASE_CELL_ROT[face, ic, jc, kc]
+
+    pent = BASE_CELL_IS_PENTAGON[base_cell]
+    res_arr = np.full(n, res, dtype=np.int64)
+
+    # pentagon deleted-k-subsequence adjustment
+    if pent.any():
+        lead = ix.leading_nonzero_digit(digits, res_arr)
+        adj = pent & (lead == 1)
+        if adj.any():
+            cw_off = t.PENT_CW_OFFSET[base_cell, face]
+            d_cw = ix.rotate60_cw_digits(digits, res_arr)
+            d_ccw = ix.rotate60_ccw_digits(digits, res_arr)
+            digits = np.where(
+                adj[:, None], np.where(cw_off[:, None], d_cw, d_ccw), digits
+            )
+
+    # orientation rotations into the base cell's home system
+    max_rot = int(rot.max()) if n else 0
+    for step in range(1, max_rot + 1):
+        todo = rot >= step
+        if not todo.any():
+            continue
+        d_hex = ix.rotate60_ccw_digits(digits, res_arr)
+        d_pent = ix.rotate_pent60_ccw_digits(digits, res_arr)
+        digits = np.where(
+            todo[:, None], np.where(pent[:, None], d_pent, d_hex), digits
+        )
+
+    h = ix.from_components(base_cell, res_arr, digits)
+    return np.where(in_range, h, np.int64(0))
+
+
+# --------------------------------------------------------------------------
+# decode: H3 -> face ijk -> geo
+# --------------------------------------------------------------------------
+
+def _h3_to_face_ijk(h: np.ndarray):
+    """H3 _h3ToFaceIjk, vectorized. Returns (face, ijk, res) where ijk is on
+    the (possibly Class-III-shifted) grid used internally; the returned res
+    is the index res (callers re-derive the shifted grid as needed)."""
+    h = np.atleast_1d(np.asarray(h, dtype=np.int64))
+    res = ix.get_resolution(h)
+    bc = ix.get_base_cell(h)
+    digits = ix.get_digits(h)
+    pent = BASE_CELL_IS_PENTAGON[bc]
+
+    # pentagon leading-5 (IK) adjustment
+    lead = ix.leading_nonzero_digit(digits, res)
+    adj = pent & (lead == 5)
+    if adj.any():
+        digits = np.where(adj[:, None], ix.rotate60_cw_digits(digits, res), digits)
+
+    face = BASE_CELL_FACE[bc].copy()
+    ijk = BASE_CELL_IJK[bc].astype(np.int64).copy()
+
+    # overage is only possible for pentagons or base cells not centered on
+    # their home face (H3 _h3ToFaceIjkWithInitializedFijk)
+    possible = pent | ((res > 0) & (BASE_CELL_IJK[bc] != 0).any(axis=1))
+
+    max_r = int(res.max()) if res.size else 0
+    for r in range(1, max_r + 1):
+        active = res >= r
+        stepped = down_ap7(ijk) if r % 2 == 1 else down_ap7r(ijk)
+        d = np.where(active, digits[:, r - 1].astype(np.int64), 0)
+        stepped = ijk_normalize(stepped + UNIT_VECS[d])
+        ijk = np.where(active[:, None], stepped, ijk)
+
+    orig_ijk = ijk.copy()
+    class3 = res % 2 == 1
+    work_res = res + class3.astype(np.int64)
+    ijk = np.where(class3[:, None], down_ap7r(ijk), ijk)
+
+    pent_lead4 = pent & (lead == 4)
+    face2, ijk2, ov = _adjust_overage_class2(
+        face, ijk, work_res, pent_lead4, substrate=False
+    )
+    face2 = np.where(possible, face2, face)
+    ijk2 = np.where(possible[:, None], ijk2, ijk)
+    ov = np.where(possible, ov, NO_OVERAGE)
+
+    # pentagons may need repeated adjustment
+    if (pent & (ov == NEW_FACE)).any():
+        for _ in range(4):
+            again = pent & (ov == NEW_FACE)
+            if not again.any():
+                break
+            f3, i3, ov3 = _adjust_overage_class2(
+                face2, ijk2, work_res, np.zeros_like(pent_lead4), substrate=False
+            )
+            face2 = np.where(again, f3, face2)
+            ijk2 = np.where(again[:, None], i3, ijk2)
+            ov = np.where(again, ov3, ov)
+
+    overaged = possible & (face2 != face)
+    # if overage happened, unwind the Class III shift on the new face;
+    # otherwise restore the original (unshifted) coordinate
+    unshift = np.where(class3[:, None], up_ap7r(ijk2), ijk2)
+    out_ijk = np.where(
+        overaged[:, None], unshift, orig_ijk
+    )
+    out_face = np.where(overaged, face2, face)
+    return out_face, out_ijk, res
+
+
+def _adjust_overage_class2(face, ijk, res, pent_leading4, substrate: bool):
+    """H3 _adjustOverageClassII, vectorized. res: per-row Class II res."""
+    t = get_tables()
+    max_dim = MAX_DIM_BY_CII_RES[res]
+    if substrate:
+        max_dim = max_dim * 3
+    s = ijk.sum(axis=1)
+
+    on_edge = (s == max_dim) if substrate else np.zeros(s.shape, bool)
+    over = s > max_dim
+
+    out_face = face.copy()
+    out_ijk = ijk.copy()
+    ov = np.where(over, NEW_FACE, np.where(on_edge, FACE_EDGE, NO_OVERAGE))
+
+    if over.any():
+        j, k = ijk[:, 1], ijk[:, 2]
+        # quadrant: k>0 & j>0 -> JK; k>0 & j==0 -> KI (w/ pentagon fix); else IJ
+        quad = np.where(k > 0, np.where(j > 0, Q_JK, Q_KI), Q_IJ)
+
+        # pentagon missing-sequence rotation inside the KI quadrant
+        fix = over & pent_leading4 & (quad == Q_KI)
+        if fix.any():
+            origin = np.zeros_like(ijk)
+            origin[:, 0] = max_dim
+            tmp = rotate60_cw(ijk_normalize(ijk - origin))
+            fixed = ijk_normalize(tmp + origin)
+            out_ijk = np.where(fix[:, None], fixed, out_ijk)
+
+        nf = t.FACE_NEIGHBORS_FACE[face, quad]
+        nrot = t.FACE_NEIGHBORS_ROT[face, quad]
+        ntrans = t.FACE_NEIGHBORS_TRANSLATE[face, quad]  # (N, 3)
+
+        rotated = out_ijk
+        for step in (1, 2, 3, 4, 5):
+            sel = over & (nrot >= step)
+            if not sel.any():
+                break
+            rotated = np.where(sel[:, None], rotate60_ccw(rotated), rotated)
+
+        scale = UNIT_SCALE_BY_CII_RES[res]
+        if substrate:
+            scale = scale * 3
+        shifted = ijk_normalize(rotated + ntrans * scale[:, None])
+
+        out_face = np.where(over, nf, out_face)
+        out_ijk = np.where(over[:, None], shifted, out_ijk)
+
+        if substrate:
+            now_edge = over & (out_ijk.sum(axis=1) == max_dim)
+            ov = np.where(now_edge, FACE_EDGE, ov)
+
+    return out_face, out_ijk, ov
+
+
+def h3_to_geo(h) -> tuple[np.ndarray, np.ndarray]:
+    """Cell -> centroid (lat_deg, lng_deg)."""
+    face, ijk, res = _h3_to_face_ijk(h)
+    v = ijk_to_hex2d(ijk)
+    lat = np.zeros(res.shape)
+    lng = np.zeros(res.shape)
+    for r in np.unique(res):
+        m = res == r
+        la, lo = geom.hex2d_to_geo(v[m], face[m], int(r), substrate=False)
+        lat[m] = la
+        lng[m] = lo
+    return np.degrees(lat), np.degrees(lng)
+
+
+# --------------------------------------------------------------------------
+# boundary: H3 -> cell polygon vertices
+# --------------------------------------------------------------------------
+
+def h3_to_geo_boundary(h) -> tuple[np.ndarray, np.ndarray]:
+    """Cell -> boundary vertices.
+
+    Returns (verts_lat_deg, verts_lng_deg) of shape (N, 6) in degrees,
+    ccw from the i-axis vertex; pentagon rows have NaN in the last slot.
+
+    Note: unlike H3's C implementation we do not insert the extra
+    icosahedron-edge-crossing vertices for Class III cells (7..10 vertex
+    boundaries); each cell always yields its 6 (5 for pentagons) true
+    vertices, overage-projected onto the correct neighbor face.  The
+    reference's boundary golden (src/region.rs:85-102) is a mid-face cell
+    and is matched exactly at 1e-9.
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.int64))
+    res = ix.get_resolution(h)
+    pent = ix.is_pentagon(h)
+
+    out_lat = np.full((h.shape[0], 6), np.nan)
+    out_lng = np.full((h.shape[0], 6), np.nan)
+    for r in np.unique(res):
+        m = res == r
+        la, lo = _boundary_at_res(h[m], int(r), pent[m])
+        out_lat[m] = la
+        out_lng[m] = lo
+    return out_lat, out_lng
+
+
+def _boundary_at_res(h, res: int, pent: np.ndarray):
+    face, ijk, _ = _h3_to_face_ijk(h)
+    n = h.shape[0]
+
+    # center into the aperture 33r substrate grid
+    center = down_ap3r(down_ap3(ijk))
+    adj_res = res
+    if res % 2 == 1:
+        center = down_ap7r(center)
+        adj_res = res + 1
+
+    verts = _VERTS_CIII if res % 2 == 1 else _VERTS_CII
+    n_verts = np.where(pent, 5, 6)
+
+    lat = np.full((n, 6), np.nan)
+    lng = np.full((n, 6), np.nan)
+    res_arr = np.full(n, adj_res, dtype=np.int64)
+    for v in range(6):
+        live = n_verts > v
+        if not live.any():
+            continue
+        vc = ijk_normalize(center + verts[v])
+        f2, c2, ov = _adjust_overage_class2(
+            face, vc, res_arr, np.zeros(n, dtype=bool), substrate=True
+        )
+        # pentagon vertices can cross more than one face
+        for _ in range(3):
+            again = pent & (ov == NEW_FACE)
+            if not again.any():
+                break
+            f3, c3, ov3 = _adjust_overage_class2(
+                f2, c2, res_arr, np.zeros(n, dtype=bool), substrate=True
+            )
+            f2 = np.where(again, f3, f2)
+            c2 = np.where(again[:, None], c3, c2)
+            ov = np.where(again, ov3, ov)
+        v2d = ijk_to_hex2d(c2)
+        la, lo = geom.hex2d_to_geo(v2d, f2, adj_res, substrate=True)
+        lat[live, v] = np.degrees(la[live])
+        lng[live, v] = np.degrees(lo[live])
+    return lat, lng

@@ -1,0 +1,372 @@
+"""Golden-vector tests for the from-scratch H3 kernel.
+
+Every fixture below is taken from the reference crate's unit tests
+(/root/reference/src/*.rs), themselves ported from h3-py / h3-js
+(src/lib.rs:58-61) — i.e. the upstream H3 ecosystem's golden constants.
+Where the reference's assertions test FFI buffer padding rather than
+true cell sets (SURVEY.md §2.4-2.6 hazards), we assert the *true* sets.
+"""
+
+import numpy as np
+import pytest
+
+from h3_rs_spark import h3core as h3
+
+
+GOLD_LNG, GOLD_LAT = -122.0553238, 37.3615593
+
+
+class TestIndexing:
+    def test_geo_to_h3_golden(self):
+        # src/index.rs:111-117
+        h = h3.geo_to_h3(np.array([GOLD_LAT]), np.array([GOLD_LNG]), 5)
+        assert hex(int(h[0])) == hex(0x85283473FFFFFFF)
+
+    def test_geo_to_h3_z7(self):
+        # h3-sys/src/lib.rs:80-92
+        h = h3.geo_to_h3(np.array([GOLD_LAT]), np.array([GOLD_LNG]), 7)
+        assert int(h[0]) == 0x87283472BFFFFFF
+
+    def test_all_resolutions_roundtrip_res(self):
+        # src/index.rs:97-100 + src/inspection.rs:129-137
+        for res in range(16):
+            h = h3.geo_to_h3(np.array([GOLD_LAT]), np.array([GOLD_LNG]), res)
+            assert int(h[0]) != 0
+            assert int(h3.get_resolution(h)[0]) == res
+
+    def test_world_wrapping(self):
+        # src/index.rs:120-134
+        full = 360.0
+        base = int(h3.geo_to_h3(np.array([GOLD_LAT]), np.array([GOLD_LNG]), 5)[0])
+        for dlat, dlng in [(0, full), (full, 0), (full, full)]:
+            h = h3.geo_to_h3(
+                np.array([GOLD_LAT + dlat]), np.array([GOLD_LNG + dlng]), 5
+            )
+            assert int(h[0]) == base
+
+    def test_nan_is_error(self):
+        # src/index.rs:102-107
+        h = h3.geo_to_h3(np.array([np.nan, 0.0]), np.array([0.0, np.nan]), 0)
+        assert (h == 0).all()
+
+    def test_h3_to_geo_golden(self):
+        # src/index.rs:141-153
+        lat, lng = h3.h3_to_geo(np.array([0x85283473FFFFFFF]))
+        assert abs(lat[0] - 37.34579337536848) < 1e-9
+        assert abs(lng[0] - (-121.97637597255124)) < 1e-9
+
+
+class TestInspection:
+    def test_is_valid(self):
+        # src/inspection.rs:110-126
+        assert h3.is_valid(np.array([0x85283473FFFFFFF]))[0]
+        assert h3.is_valid(np.array([0x850DAB63FFFFFFF]))[0]
+        assert not h3.is_valid(np.array([0x5004295803A88]))[0]
+
+    def test_resolution_base_cell(self):
+        h = np.array([0x85283473FFFFFFF])
+        assert int(h3.get_resolution(h)[0]) == 5
+        assert int(h3.get_base_cell(h)[0]) == 20
+
+    def test_is_res_class3(self):
+        assert h3.is_res_class3(np.array([0x85283473FFFFFFF]))[0]  # res 5
+        h4 = h3.geo_to_h3(np.array([GOLD_LAT]), np.array([GOLD_LNG]), 4)
+        assert not h3.is_res_class3(h4)[0]
+
+    def test_pentagon_flag(self):
+        assert h3.is_pentagon(np.array([0x821C07FFFFFFFFF]))[0]
+        assert not h3.is_pentagon(np.array([0x85283473FFFFFFF]))[0]
+
+    def test_hex_codec(self):
+        s = h3.h3_to_hex_str(np.array([0x85283473FFFFFFF]))
+        assert s == ["85283473fffffff"]
+        assert int(h3.hex_str_to_h3(s)[0]) == 0x85283473FFFFFFF
+
+
+class TestResolutionStats:
+    def test_grid_resolution_goldens(self):
+        # src/resolution.rs:105-110
+        assert abs(h3.edge_length_m(1) - 418676.0055) < 1e-4
+        assert h3.num_hexagons(1) == 842
+        assert abs(h3.hex_area_m2(1) - 607221000000.0) / 607221000000.0 < 1e-6
+
+
+class TestTraversal:
+    def test_k_ring_1(self):
+        # src/traversal.rs:196-214 (count + membership, true set)
+        _, cells = h3.k_ring(np.array([0x8928308280FFFFF]), 1)
+        got = {int(c) for c in cells}
+        assert len(got) == 7
+        expected = {
+            0x8928308280FFFFF, 0x8928308280BFFFF, 0x89283082807FFFF,
+            0x89283082877FFFF, 0x89283082803FFFF, 0x89283082873FFFF,
+            0x8928308283BFFFF,
+        }
+        assert got == expected
+
+    def test_k_ring_2(self):
+        # src/traversal.rs:217-246
+        _, cells = h3.k_ring(np.array([0x8928308280FFFFF]), 2)
+        got = {int(c) for c in cells}
+        assert len(got) == 19
+        expected = {
+            0x89283082813FFFF, 0x89283082817FFFF, 0x8928308281BFFFF,
+            0x89283082863FFFF, 0x89283082823FFFF, 0x89283082873FFFF,
+            0x89283082877FFFF, 0x8928308287BFFFF, 0x89283082833FFFF,
+            0x8928308282BFFFF, 0x8928308283BFFFF, 0x89283082857FFFF,
+            0x892830828ABFFFF, 0x89283082847FFFF, 0x89283082867FFFF,
+            0x89283082803FFFF, 0x89283082807FFFF, 0x8928308280BFFFF,
+            0x8928308280FFFFF,
+        }
+        assert got == expected
+
+    def test_k_ring_pentagon(self):
+        # src/traversal.rs:249-265
+        _, cells = h3.k_ring(np.array([0x821C07FFFFFFFFF]), 1)
+        got = {int(c) for c in cells}
+        assert len(got) == 6
+        expected = {
+            0x821C2FFFFFFFFFF, 0x821C27FFFFFFFFF, 0x821C07FFFFFFFFF,
+            0x821C17FFFFFFFFF, 0x821C1FFFFFFFFFF, 0x821C37FFFFFFFFF,
+        }
+        assert got == expected
+
+    def test_k_ring_distances(self):
+        # src/traversal.rs:267-290
+        _, cells, dist = h3.k_ring_distances(np.array([0x8928308280FFFFF]), 1)
+        assert (dist == 0).sum() == 1
+        assert (dist == 1).sum() == 6
+        assert int(cells[dist == 0][0]) == 0x8928308280FFFFF
+
+    def test_k_ring_distances_pentagon_adjacent(self):
+        # src/traversal.rs:285-289 — the [1, 6, 11] pentagon distortion
+        _, _, dist = h3.k_ring_distances(np.array([0x870800003FFFFFF]), 2)
+        assert (dist == 0).sum() == 1
+        assert (dist == 1).sum() == 6
+        assert (dist == 2).sum() == 11
+
+    def test_hex_ring_1(self):
+        # src/traversal.rs:292-306 — true set (no zero padding)
+        _, cells = h3.hex_ring(np.array([0x8928308280FFFFF]), 1)
+        got = {int(c) for c in cells}
+        expected = {
+            0x8928308280BFFFF, 0x89283082807FFFF, 0x89283082877FFFF,
+            0x89283082803FFFF, 0x89283082873FFFF, 0x8928308283BFFFF,
+        }
+        assert got == expected
+
+    def test_hex_ring_2(self):
+        # src/traversal.rs:308-328
+        _, cells = h3.hex_ring(np.array([0x8928308280FFFFF]), 2)
+        got = {int(c) for c in cells}
+        expected = {
+            0x89283082813FFFF, 0x89283082817FFFF, 0x8928308281BFFFF,
+            0x89283082863FFFF, 0x89283082823FFFF, 0x8928308287BFFFF,
+            0x89283082833FFFF, 0x8928308282BFFFF, 0x89283082857FFFF,
+            0x892830828ABFFFF, 0x89283082847FFFF, 0x89283082867FFFF,
+        }
+        assert got == expected
+        assert len(got) == 12
+
+    def test_h3_distance(self):
+        origin = 0x8928308280FFFFF
+        _, cells, dist = h3.k_ring_distances(np.array([origin]), 2)
+        for c, d in zip(cells, dist):
+            assert h3.h3_distance(origin, int(c)) == int(d)
+
+    def test_h3_line_endpoints(self):
+        a = 0x8928308280FFFFF
+        _, cells = h3.hex_ring(np.array([a]), 2)
+        b = int(cells[0])
+        path = h3.h3_line(a, b)
+        assert path[0] == a and path[-1] == b
+        assert len(path) == 3  # distance 2 -> 3 cells
+
+
+class TestHierarchy:
+    def test_children_counts(self):
+        # src/hierarchy.rs:122-129
+        h = 0x87283472BFFFFFF
+        assert len(h3.to_children(h, 7)) == 1
+        assert len(h3.to_children(h, 8)) == 7
+
+    def test_parent_of_children(self):
+        h = 0x87283472BFFFFFF
+        ch = h3.to_children(h, 9)
+        parents = h3.to_parent(ch, 7)
+        assert (parents == h).all()
+
+    def test_max_children(self):
+        assert int(h3.max_children(7, 9)) == 49
+
+    def test_pentagon_children(self):
+        pent = 0x821C07FFFFFFFFF  # res 2 pentagon
+        ch = h3.to_children(int(pent), 3)
+        assert len(ch) == 6  # pentagons have 6 children
+        assert h3.is_pentagon(ch).sum() == 1
+
+    def test_compact_uncompact_roundtrip(self):
+        h = 0x87283472BFFFFFF
+        ch = h3.to_children(h, 9)
+        compacted = h3.compact(ch)
+        assert len(compacted) == 1 and int(compacted[0]) == h
+        expanded = h3.uncompact(compacted, 9)
+        assert set(expanded.tolist()) == set(ch.tolist())
+
+
+SF_POLYGON = [
+    (-122.4089866999972145, 37.813318999983238),
+    (-122.3805436999997056, 37.7866302000007224),
+    (-122.3544736999993603, 37.7198061999978478),
+    (-122.5123436999983966, 37.7076131999975672),
+    (-122.5247187000021967, 37.7835871999971715),
+    (-122.4798767000009008, 37.8151571999998453),
+]
+
+
+class TestRegions:
+    def test_boundary_golden(self):
+        # src/region.rs:85-102 — 6 vertices at 1e-9 (order-sensitive up to
+        # rotation: assert as an ordered cycle)
+        expected = [
+            (-121.91508032705622, 37.271355866731895),
+            (-121.86222328902491, 37.353926450852256),
+            (-121.9235499963016, 37.42834118609435),
+            (-122.0377349642703, 37.42012867767778),
+            (-122.09042892904395, 37.33755608435298),
+            (-122.02910130919, 37.26319797461824),
+        ]
+        blat, blng = h3.h3_to_geo_boundary(np.array([0x85283473FFFFFFF]))
+        verts = list(zip(blng[0], blat[0]))
+        assert not any(np.isnan(v[0]) for v in verts)
+        # find rotation offset aligning to expected
+        errs = []
+        for off in range(6):
+            rot = verts[off:] + verts[:off]
+            err = max(
+                max(abs(a - c), abs(b - d))
+                for (a, b), (c, d) in zip(rot, expected)
+            )
+            errs.append(err)
+        assert min(errs) < 1e-9, min(errs)
+        assert int(np.argmin(errs)) == 0, "vertex order should match C exactly"
+
+    def test_polyfill_sf(self):
+        # src/region.rs:104-121 asserts > 1000; the exact count implied by
+        # the h3-js/h3-py golden (and src/hierarchy.rs:145-148) is 1253
+        cells = h3.polyfill(SF_POLYGON, [], 9)
+        assert len(cells) == 1253
+
+    def test_polyfill_sf_compact(self):
+        # src/hierarchy.rs:131-149: compact 209, uncompact 1253
+        cells = h3.polyfill(SF_POLYGON, [], 9)
+        compacted = h3.compact(cells)
+        assert len(compacted) == 209
+        expanded = h3.uncompact(compacted, 9)
+        assert len(expanded) == 1253
+        assert set(expanded.tolist()) == set(cells.tolist())
+
+    def test_polyfill_with_hole(self):
+        # src/region.rs:126-147
+        hole = [
+            (-122.4471197, 37.7869802),
+            (-122.4590777, 37.7664102),
+            (-122.4137097, 37.7710682),
+        ]
+        full = h3.polyfill(SF_POLYGON, [], 9)
+        holed = h3.polyfill(SF_POLYGON, [hole], 9)
+        assert 0 < len(holed) < len(full)
+        assert set(holed.tolist()) <= set(full.tolist())
+
+    def test_polyfill_empty_hole_ignored(self):
+        # src/raw.rs:122-125 + src/region.rs:183-218 (Sydney, interiors [[]])
+        full = h3.polyfill(SF_POLYGON, [], 9)
+        same = h3.polyfill(SF_POLYGON, [[]], 9)
+        assert set(full.tolist()) == set(same.tolist())
+
+    def test_polyfill_sydney(self):
+        # src/region.rs:183-218 (> 10 cells at Z9)
+        sydney = [
+            (151.1979259, -33.8555555), (151.2074556, -33.8519779),
+            (151.224743, -33.8579597), (151.2254986, -33.8582212),
+            (151.235313348, -33.8564183032), (151.234799568, -33.8594049408),
+            (151.233485084, -33.8641069037), (151.233181742, -33.8715791334),
+            (151.223980353, -33.8876967719), (151.219388501, -33.8873877027),
+            (151.2189209, -33.8869995), (151.2181177, -33.886283399999996),
+            (151.2157995, -33.8851287), (151.2156925, -33.8852471),
+            (151.2141233, -33.8851287), (151.2116267, -33.8847438),
+            (151.2083456, -33.8834707), (151.2080246, -33.8827601),
+            (151.2059204, -33.8816053), (151.2043868, -33.8827601),
+            (151.2028176, -33.8838556), (151.2022826, -33.8839148),
+            (151.2011057, -33.8842405), (151.1986114, -33.8842819),
+            (151.1986091, -33.8842405), (151.1948287, -33.8773416),
+            (151.1923322, -33.8740845), (151.1850566, -33.8697019),
+            (151.1902636, -33.8625354), (151.1986805, -33.8612915),
+            (151.1979259, -33.8555555),
+        ]
+        cells = h3.polyfill(sydney, [[]], 9)
+        assert len(cells) > 10
+        # all centroids must be inside
+        lat, lng = h3.h3_to_geo(cells)
+        assert h3.points_in_polygon(lng, lat, sydney).all()
+
+    def test_polyfill_null_island(self):
+        # src/region.rs:228-243 (> 10 cells at Z4)
+        box = [
+            (-3.218994140625, -3.0856655287215378),
+            (-3.218994140625, 3.6888551431470478),
+            (3.5815429687499996, 3.6888551431470478),
+            (3.5815429687499996, -3.0856655287215378),
+        ]
+        cells = h3.polyfill(box, [], 4)
+        assert len(cells) > 10
+
+    def test_boundary_split(self):
+        cells = h3.polyfill(SF_POLYGON, [], 9)
+        interior, boundary = h3.cells_to_boundary_split(cells, SF_POLYGON)
+        assert len(interior) + len(boundary) == len(cells)
+        assert len(interior) > 0 and len(boundary) > 0
+
+
+class TestKernelProperties:
+    def test_encode_decode_roundtrip_grid(self):
+        rng = np.random.default_rng(3)
+        n = 20_000
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        lng = rng.uniform(-180, 180, n)
+        for res in (2, 7, 11):
+            h = h3.geo_to_h3(lat, lng, res)
+            clat, clng = h3.h3_to_geo(h)
+            h2 = h3.geo_to_h3(clat, clng, res)
+            assert (h == h2).all()
+
+    def test_parent_children_identity(self):
+        rng = np.random.default_rng(4)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 200)))
+        lng = rng.uniform(-180, 180, 200)
+        h = h3.geo_to_h3(lat, lng, 6)
+        for cell in np.unique(h)[:50]:
+            ch = h3.to_children(int(cell), 8)
+            assert (h3.to_parent(ch, 6) == cell).all()
+
+    def test_boundary_contains_center(self):
+        rng = np.random.default_rng(5)
+        lat = np.degrees(np.arcsin(rng.uniform(-0.95, 0.95, 500)))
+        lng = rng.uniform(-180, 180, 500)
+        h = np.unique(h3.geo_to_h3(lat, lng, 6))
+        clat, clng = h3.h3_to_geo(h)
+        blat, blng = h3.h3_to_geo_boundary(h)
+        for i in range(len(h)):
+            ring = [
+                (blng[i, v], blat[i, v])
+                for v in range(6)
+                if not np.isnan(blat[i, v])
+            ]
+            # skip antimeridian-crossing rings (PIP helper is planar)
+            lngs = [p[0] for p in ring]
+            if max(lngs) - min(lngs) > 180:
+                continue
+            inside = h3.points_in_polygon(
+                np.array([clng[i]]), np.array([clat[i]]), np.array(ring)
+            )
+            assert inside[0], (i, hex(int(h[i])))
