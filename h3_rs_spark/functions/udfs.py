@@ -1,0 +1,140 @@
+"""Arrow-vectorized pandas UDFs over the numpy H3 kernel.
+
+Every UDF is Series->Series over whole Arrow batches (no per-row Python,
+per BASELINE.json input_hint); the heavy math is the same numpy kernel
+validated against the reference goldens (tests/test_h3_goldens.py).
+
+Resolution/k parameters are Python literals captured in closures so only
+the data columns cross the JVM->Python boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..h3core import faceijk, indexing, traversal
+
+
+def geo_to_h3_udf(res: int):
+    """(lat, lng) degrees -> cell int64 (0 for invalid input)."""
+
+    @F.pandas_udf(LongType())
+    def _f(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        h = faceijk.geo_to_h3(
+            lat.to_numpy(dtype=np.float64, na_value=np.nan),
+            lng.to_numpy(dtype=np.float64, na_value=np.nan),
+            res,
+        )
+        return pd.Series(h)
+
+    return _f
+
+
+_GEO_STRUCT = StructType(
+    [StructField("lat", DoubleType()), StructField("lng", DoubleType())]
+)
+
+
+@F.pandas_udf(_GEO_STRUCT)
+def h3_to_geo_udf(cell: pd.Series) -> pd.DataFrame:
+    lat, lng = faceijk.h3_to_geo(cell.to_numpy(dtype=np.int64))
+    return pd.DataFrame({"lat": lat, "lng": lng})
+
+
+_BOUNDARY_TYPE = ArrayType(
+    StructType([StructField("lng", DoubleType()), StructField("lat", DoubleType())])
+)
+
+
+@F.pandas_udf(_BOUNDARY_TYPE)
+def h3_boundary_udf(cell: pd.Series) -> pd.Series:
+    blat, blng = faceijk.h3_to_geo_boundary(cell.to_numpy(dtype=np.int64))
+    out = []
+    for i in range(blat.shape[0]):
+        keep = ~np.isnan(blat[i])
+        out.append(
+            [
+                {"lng": float(blng[i, v]), "lat": float(blat[i, v])}
+                for v in np.flatnonzero(keep)
+            ]
+        )
+    return pd.Series(out)
+
+
+@F.pandas_udf(BooleanType())
+def h3_is_valid_udf(cell: pd.Series) -> pd.Series:
+    return pd.Series(indexing.is_valid(cell.to_numpy(dtype=np.int64)))
+
+
+@F.pandas_udf(BooleanType())
+def h3_is_pentagon_udf(cell: pd.Series) -> pd.Series:
+    return pd.Series(indexing.is_pentagon(cell.to_numpy(dtype=np.int64)))
+
+
+def k_ring_udf(k: int):
+    """cell -> array<long> of all cells within grid distance k."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(cell: pd.Series) -> pd.Series:
+        c = cell.to_numpy(dtype=np.int64)
+        owner, cells = traversal.k_ring(c, k)
+        out = [[] for _ in range(len(c))]
+        for o, cc in zip(owner.tolist(), cells.tolist()):
+            out[o].append(cc)
+        return pd.Series(out)
+
+    return _f
+
+
+_RING_TYPE = ArrayType(
+    StructType([StructField("cell", LongType()), StructField("k", IntegerType())])
+)
+
+
+def k_ring_distances_udf(k: int):
+    """cell -> array<struct<cell, k>> grouped by grid distance 0..k."""
+
+    @F.pandas_udf(_RING_TYPE)
+    def _f(cell: pd.Series) -> pd.Series:
+        c = cell.to_numpy(dtype=np.int64)
+        owner, cells, dist = traversal.k_ring_distances(c, k)
+        out = [[] for _ in range(len(c))]
+        for o, cc, d in zip(owner.tolist(), cells.tolist(), dist.tolist()):
+            out[o].append({"cell": cc, "k": int(d)})
+        return pd.Series(out)
+
+    return _f
+
+
+def h3_to_children_udf(child_res: int):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(cell: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                indexing.to_children(int(c), child_res).tolist()
+                for c in cell.to_numpy(dtype=np.int64)
+            ]
+        )
+
+    return _f
+
+
+@F.pandas_udf(IntegerType())
+def h3_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    av = a.to_numpy(dtype=np.int64)
+    bv = b.to_numpy(dtype=np.int64)
+    return pd.Series(
+        [traversal.h3_distance(int(x), int(y)) for x, y in zip(av, bv)],
+        dtype="int32",
+    )

@@ -100,6 +100,69 @@ def polyfill_compact(exterior, holes, res: int) -> np.ndarray:
     return compact(polyfill(exterior, holes, res))
 
 
+def polygon_cover(exterior, holes, res: int):
+    """Exact PIP-join build set: (interior_cells, boundary_cells).
+
+    interior: cells entirely inside the polygon (centroid + all vertices)
+    — points there match with no refinement.
+    boundary: every other cell that could contain a point inside the
+    polygon: cells with mixed vertex containment, cells containing a
+    polygon ring vertex, and a one-ring dilation to catch corner slivers
+    clipped by a polygon edge without flipping any hex vertex. Boundary
+    matches are refined by exact ray casting, so over-inclusion here only
+    costs a few extra broadcast rows, never correctness (exactness vs the
+    brute-force oracle is asserted in tests/test_operators.py).
+    """
+    from .traversal import neighbors as _neighbors
+
+    ext = _close_ring(np.asarray(exterior, dtype=np.float64))
+    lng_min, lat_min = ext.min(axis=0)
+    lng_max, lat_max = ext.max(axis=0)
+    edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
+    pad = 2.5 * edge_deg
+    step_lat = 0.7 * edge_deg
+    cos_lat = max(
+        0.05, np.cos(np.radians(max(abs(lat_min - pad), abs(lat_max + pad))))
+    )
+    step_lng = step_lat / cos_lat
+    lats = np.arange(lat_min - pad, lat_max + pad, step_lat)
+    lngs = np.arange(lng_min - pad, lng_max + pad, step_lng)
+    glng, glat = np.meshgrid(lngs, lats)
+    cells = np.unique(fk.geo_to_h3(glat.ravel(), glng.ravel(), res))
+    cells = cells[cells != 0]
+
+    # classify by centroid + vertex containment
+    clat, clng = fk.h3_to_geo(cells)
+    c_in = points_in_polygon(clng, clat, exterior, holes)
+    blat, blng = fk.h3_to_geo_boundary(cells)
+    flat_lat, flat_lng = blat.ravel(), blng.ravel()
+    ok = ~np.isnan(flat_lat)
+    v_in = np.zeros(flat_lat.shape, dtype=bool)
+    v_in[ok] = points_in_polygon(flat_lng[ok], flat_lat[ok], exterior, holes)
+    v_in_m = v_in.reshape(blat.shape)
+    n_verts = (~np.isnan(blat)).sum(axis=1)
+    n_in = np.where(~np.isnan(blat), v_in_m, False).sum(axis=1)
+
+    all_in = c_in & (n_in == n_verts)
+    none_in = (~c_in) & (n_in == 0)
+    mixed = ~(all_in | none_in)
+
+    # cells containing polygon ring vertices
+    rings = [ext] + _clean_holes(holes)
+    rv_lng = np.concatenate([r[:, 0] for r in rings])
+    rv_lat = np.concatenate([r[:, 1] for r in rings])
+    rv_cells = np.unique(fk.geo_to_h3(rv_lat, rv_lng, res))
+
+    b0 = np.unique(np.concatenate([cells[mixed], rv_cells]))
+    if b0.size:
+        _, dil = _neighbors(b0)
+        boundary = np.unique(np.concatenate([b0, dil]))
+    else:
+        boundary = b0
+    interior = np.setdiff1d(cells[all_in], boundary, assume_unique=False)
+    return interior, boundary
+
+
 def cells_to_boundary_split(cells: np.ndarray, exterior, holes=None):
     """Split a polyfill cell set into (interior, boundary) by whether the
     cell's boundary polygon crosses the polygon outline — boundary cells

@@ -1,0 +1,124 @@
+"""Point-in-polygon join: the engine's flagship operator.
+
+Plan shape (SURVEY.md §2.9/§4.2, designed for 10^12-row probe tables):
+
+  1. Driver-side polyfill of each polygon at its target res (polygons are
+     a small dimension; cells <= ~1e5 each), split into interior cells
+     and boundary cells (cells whose hexagon crosses the outline).
+  2. Interior cells are *compacted* to a multi-res antichain, shrinking
+     the broadcast build side ~6x (SF hexagon: 1253 -> 209).
+  3. The probe side derives one parent key per distinct build res with
+     pure JVM bit math (functions/native.h3_to_parent_col) and explodes —
+     a BroadcastHashJoin with no probe-side shuffle. Because the compacted
+     set is an antichain, each probe row matches at most one build row
+     (no double counting; asserted in tests).
+  4. Only rows matched to *boundary* cells pay the exact ray-casting PIP
+     refinement (Arrow-batched pandas UDF); interior matches are free.
+
+  At scale, partition pruning comes for free: the images table is
+  partitioned by coarse cell (sources/io.write_images) and the build
+  side's distinct bc0 prefixes are pushed as a partition filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..functions.native import h3_base_cell, h3_resolution, h3_to_parent_col
+from ..h3core import indexing as ix
+from ..h3core import regions
+
+
+def build_polygon_cells(polygons: dict, compacted: bool = True) -> pd.DataFrame:
+    """Driver-side polyfill -> (polygon_id, cell, is_boundary) build table.
+
+    polygons: {polygon_id: (exterior, holes, res)}.
+    """
+    rows = []
+    for pid, (ext, holes, res) in polygons.items():
+        interior, boundary = regions.polygon_cover(ext, holes, res)
+        if compacted and len(interior):
+            interior = np.asarray(regions_compact(interior))
+        for c in interior:
+            rows.append((pid, int(c), False))
+        for c in boundary:
+            rows.append((pid, int(c), True))
+    return pd.DataFrame(rows, columns=["polygon_id", "cell", "is_boundary"])
+
+
+def regions_compact(cells):
+    from ..h3core.hierarchy import compact
+
+    return compact(cells)
+
+
+def pip_join(
+    spark: SparkSession,
+    images: DataFrame,
+    polygons: dict,
+    cell_col: str = "cell",
+    compacted: bool = True,
+    refine: bool = True,
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """Join images (with a `cell_col` at each polygon's res and lat/lng
+    columns) against polygons; returns matched rows + polygon_id."""
+    build_pdf = build_polygon_cells(polygons, compacted=compacted)
+    build_res = sorted(
+        int(r) for r in np.unique(ix.get_resolution(build_pdf["cell"].to_numpy()))
+    )
+    build = F.broadcast(
+        spark.createDataFrame(build_pdf).withColumnsRenamed({"cell": "poly_cell"})
+    )
+
+    probe = images
+    if prune_partitions and "bc0" in images.columns:
+        bc0s = sorted(
+            int(b)
+            for b in np.unique(
+                ix.get_base_cell(build_pdf["cell"].to_numpy(dtype=np.int64))
+            )
+        )
+        probe = probe.where(F.col("bc0").isin(bc0s))
+
+    # one JVM-side parent key per distinct build resolution
+    keys = F.array(*[h3_to_parent_col(cell_col, r) for r in build_res])
+    probe = probe.withColumn("probe_key", F.explode(keys))
+
+    joined = probe.join(build, probe["probe_key"] == build["poly_cell"], "inner")
+
+    if refine:
+        joined = _refine_boundary(joined, polygons)
+    return joined.drop("probe_key", "poly_cell", "is_boundary")
+
+
+def _refine_boundary(joined: DataFrame, polygons: dict) -> DataFrame:
+    """Exact PIP for rows matched via boundary cells only."""
+    geoms = {pid: (ext, holes) for pid, (ext, holes, _res) in polygons.items()}
+
+    @F.pandas_udf(BooleanType())
+    def _pip(polygon_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+        out = np.zeros(len(polygon_id), dtype=bool)
+        la = lat.to_numpy(dtype=np.float64)
+        ln = lng.to_numpy(dtype=np.float64)
+        for pid, idx in polygon_id.groupby(polygon_id).groups.items():
+            ext, holes = geoms[pid]
+            ii = np.asarray(idx)
+            out[ii] = regions.points_in_polygon(ln[ii], la[ii], ext, holes)
+        return pd.Series(out)
+
+    return joined.where(
+        (~F.col("is_boundary")) | _pip("polygon_id", "lat", "lng")
+    )
+
+
+def pip_count(spark, images, polygons, **kw) -> DataFrame:
+    return (
+        pip_join(spark, images, polygons, **kw)
+        .groupBy("polygon_id")
+        .agg(F.count("*").alias("n_images"))
+    )

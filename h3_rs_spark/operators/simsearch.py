@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline. Dot
+  products are JVM-side higher-order functions (zip_with + aggregate);
+  the only shuffle is the per-query top-k window over candidates.
+- ivf_topk: the scale path — IVF-style inverted index: k-means-ish
+  centroids (sampled, fixed seed), each vector assigned to its nearest
+  centroid partition; queries probe only the `nprobe` nearest centroid
+  buckets. Recall vs the brute-force baseline is measured in tests.
+
+At 100 TB the brute-force scan is a full pass per query batch (fine for
+offline joins when queries are broadcast); IVF bounds the probe to
+nprobe/nlist of the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x full scan of vectors."""
+    q = F.broadcast(queries.select(q_id_col, q_vec_col))
+    joined = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).crossJoin(q.withColumn("qv", F.col(q_vec_col).cast("array<double>")))
+    scored = joined.withColumn(
+        "cos_sim",
+        F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, F.col(id_col).alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
+def train_centroids(
+    vectors: DataFrame, nlist: int = 16, vec_col: str = "embedding", iters: int = 5
+) -> np.ndarray:
+    """Tiny k-means on a driver sample (seeded) — centroid model for IVF."""
+    sample = np.stack(
+        vectors.select(vec_col).limit(4096).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    rng = np.random.default_rng(7)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    @F.pandas_udf(IntegerType())
+    def _f(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _f
+
+
+def ivf_topk(
+    spark: SparkSession,
+    vectors: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k probing only nprobe IVF buckets/query.
+
+    queries_pdf: pandas (query_id, q_vec list). Returns same schema as
+    cosine_topk; recall measured against it in tests.
+    """
+    cent = train_centroids(vectors, nlist=nlist, vec_col=vec_col)
+    indexed = vectors.withColumn("ivf_bucket", ivf_assign_udf(cent)(F.col(vec_col)))
+
+    qv = np.stack(queries_pdf["q_vec"].to_numpy()).astype(np.float64)
+    d = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d, axis=1)[:, :nprobe]
+    probe_rows = [
+        {"query_id": qid, "q_vec": vec, "ivf_bucket": int(b)}
+        for qid, vec, bs in zip(
+            queries_pdf["query_id"], queries_pdf["q_vec"], probes
+        )
+        for b in bs
+    ]
+    probe_df = F.broadcast(spark.createDataFrame(pd.DataFrame(probe_rows)))
+    joined = indexed.join(probe_df, "ivf_bucket").select(
+        "query_id",
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col("q_vec").cast("array<double>").alias("qv"),
+    )
+    scored = joined.withColumn(
+        "cos_sim", F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rank")
+    )

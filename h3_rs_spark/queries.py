@@ -1,0 +1,675 @@
+"""Query catalog: every implemented operator (SURVEY.md §2 + the
+training-data ops) as a (spark, sf_dir) -> DataFrame callable, with a
+DuckDB oracle SQL string wherever the semantics are ANSI-SQL
+expressible. H3-kernel queries are rows-only for the driver (DuckDB has
+no H3); their exact correctness is carried by the golden kernel tests
+and the numpy whole-pipeline oracles in tests/.
+
+Derived geography: the TPC-H-ish driver tables carry no lat/lng, so
+H3/kNN/PIP queries derive deterministic coordinates from stable integer
+keys with arithmetic that evaluates bit-identically in Spark SQL and
+DuckDB (pure BIGINT mul/mod + double division — no engine-specific
+hash). The mixture mirrors FIXTURES.md: SF 30%, NYC 15%, Sydney 15%,
+null-island 5%, world 35% — skewed dense metros by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.native import h3_to_parent_col
+from .functions.udfs import (
+    geo_to_h3_udf,
+    h3_boundary_udf,
+    h3_to_geo_udf,
+    k_ring_udf,
+)
+from .operators import dedup, simsearch, skew, textstats
+from .operators.knn import knn_join
+from .operators.pip_join import pip_count
+from .sources.datagen import POLYGONS
+
+
+# --------------------------------------------------------------------------
+# shared Spark/DuckDB-identical derived geography
+# --------------------------------------------------------------------------
+
+# NB: all float literals are e-notation so BOTH engines parse them as
+# DOUBLE (Spark parses `0.1` as DECIMAL, DuckDB divides as DOUBLE —
+# e-notation keeps the arithmetic bit-identical across engines).
+
+def lat_sql(k: str) -> str:
+    jit = f"((({k}) * 48271 + 11) % 20000) * 1e-5 - 1e-1"
+    return (
+        f"(CASE WHEN ({k}) % 20 < 6  THEN 3.776e1 + {jit} "
+        f"      WHEN ({k}) % 20 < 9  THEN 4.071e1 + {jit} "
+        f"      WHEN ({k}) % 20 < 12 THEN -3.387e1 + {jit} "
+        f"      WHEN ({k}) % 20 < 13 THEN 3e-1 + {jit} "
+        f"      ELSE ((({k}) * 2654435761) % 16000000) * 1e-5 - 8e1 END)"
+    )
+
+
+def lng_sql(k: str) -> str:
+    jit = f"((({k}) * 69621 + 17) % 20000) * 1e-5 - 1e-1"
+    return (
+        f"(CASE WHEN ({k}) % 20 < 6  THEN -1.2244e2 + {jit} "
+        f"      WHEN ({k}) % 20 < 9  THEN -7.401e1 + {jit} "
+        f"      WHEN ({k}) % 20 < 12 THEN 1.5121e2 + {jit} "
+        f"      WHEN ({k}) % 20 < 13 THEN 2e-1 + {jit} "
+        f"      ELSE ((({k}) * 1103515245 + 12345) % 36000000) * 1e-5 - 1.8e2 END)"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_points(spark: SparkSession, sf_dir: str, table: str = "orders",
+                   key: str = "o_orderkey") -> DataFrame:
+    df = _t(spark, sf_dir, table)
+    return df.select(
+        F.col(key).alias("point_id"),
+        F.expr(lat_sql(key)).alias("lat"),
+        F.expr(lng_sql(key)).alias("lng"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational / SQL-oracled queries
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)      AS avg_qty,
+       COUNT(*)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q03_brand_window_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rank")
+    )
+
+
+Q03_SQL = """
+SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS price, rank FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+def q04_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q05_setops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = hi.intersect(urgent).count()
+    only_hi = hi.distinct().exceptAll(urgent.distinct()).count()
+    return spark.createDataFrame(
+        [(int(both), int(only_hi))], "n_both long, n_only_high long"
+    )
+
+
+Q05_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM (
+     SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+     INTERSECT
+     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+  AS n_both,
+  (SELECT COUNT(*) FROM (
+     SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+     EXCEPT
+     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+  AS n_only_high
+"""
+
+
+def q06_broadcast_join_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity")), 2).alias("qty"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT p_brand, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q07_salted_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey")
+    joined = skew.salted_join(li, o, "okey", salt_buckets=8,
+                              probe_salt_source="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+    )
+
+
+Q07_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS price_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q08_salted_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = skew.salted_aggregate(
+        li.withColumn("l_extendedprice_sum", F.col("l_extendedprice")),
+        "l_returnflag",
+        [("n_rows", "count"), ("l_extendedprice_sum", "sum"), ("l_quantity", "max")],
+        salt_buckets=16,
+        salt_source="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("l_extendedprice_sum", 2).alias("price_sum"),
+        F.round("l_quantity", 2).alias("qty_max"),
+    )
+
+
+Q08_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       ROUND(SUM(l_extendedprice), 2) AS price_sum,
+       ROUND(MAX(l_quantity), 2) AS qty_max
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- documents: dedup + text analysis --------------------------------------
+
+def q09_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select("content_hash", "keep_id", "dup_count")
+
+
+Q09_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q10_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_token_stats(d).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_engine").cast("long").alias("n_chars_engine"),
+        "avg_token_len",
+    )
+
+
+Q10_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_engine,
+       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+         AS avg_token_len
+FROM documents
+"""
+
+
+def q11_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_quality_score(d).select(
+        "doc_id", "punct_ratio", "space_ratio", "upper_ratio",
+        F.col("n_words").cast("long").alias("n_words"), "quality_score",
+    )
+
+
+Q11_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(GREATEST(length(text), 1) AS DOUBLE) AS n,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS np,
+    CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS DOUBLE) AS ns,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS nu,
+    len(string_split_regex(trim(text), '\s+')) AS n_words
+  FROM documents)
+SELECT doc_id,
+  ROUND(np / n, 6) AS punct_ratio,
+  ROUND(ns / n, 6) AS space_ratio,
+  ROUND(nu / n, 6) AS upper_ratio,
+  CAST(n_words AS BIGINT) AS n_words,
+  ROUND(1.0 - LEAST(np / n * 4, 0.5)
+            - LEAST(ABS(ns / n - 1.0 / 6.0) * 2, 0.3)
+            - LEAST(nu / n * 2, 0.2), 6) AS quality_score
+FROM q
+"""
+
+
+def q12_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.with_lang_id(d).select("doc_id", "lang_pred")
+
+
+def q13_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.fingerprint_udf()(F.col("text")).alias("fingerprint")
+    )
+
+
+def q14_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(d, jaccard_threshold=0.5)
+
+
+def q15_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(d, max_hamming=16)
+
+
+def q16_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    a = d.select(F.col("doc_id").alias("id_a"))
+    b = d.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), pairs, n=3
+    ).where(F.col("jaccard") > 0)
+
+
+def q17_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(e, cos_threshold=0.25)
+
+
+# --- embeddings: similarity search ------------------------------------------
+
+def q18_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = (
+        e.where(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    out = simsearch.cosine_topk(
+        e.where(F.col("vec_id") >= 8), queries, k=5
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+Q18_SQL = """
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(v.embedding, q.embedding), 6) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(v.embedding, q.embedding) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings v, embeddings q
+  WHERE q.vec_id < 8 AND v.vec_id >= 8
+) WHERE rank <= 5
+"""
+
+
+def q19_embedding_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return (
+        e.withColumn("norm", norm)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 6).alias("avg_norm"))
+    )
+
+
+Q19_SQL = """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q20_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q_pdf = (
+        e.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        .toPandas()
+    )
+    return simsearch.ivf_topk(spark, e.where(F.col("vec_id") >= 8), q_pdf, k=5)
+
+
+# --- H3 / geo queries on derived geography ----------------------------------
+
+def q21_pip_rect_sql(spark, sf_dir):
+    pts = derived_points(spark, sf_dir)
+    in_sf = (
+        (F.col("lat") > 37.66) & (F.col("lat") < 37.86)
+        & (F.col("lng") > -122.54) & (F.col("lng") < -122.34)
+    )
+    in_syd = (
+        (F.col("lat") > -33.97) & (F.col("lat") < -33.77)
+        & (F.col("lng") > 151.11) & (F.col("lng") < 151.31)
+    )
+    return spark.createDataFrame(
+        [(pts.where(in_sf).count(), pts.where(in_syd).count())],
+        "n_sf long, n_sydney long",
+    )
+
+
+def _q21_sql():
+    lat = lat_sql("o_orderkey")
+    lng = lng_sql("o_orderkey")
+    return f"""
+SELECT
+ (SELECT COUNT(*) FROM orders
+  WHERE {lat} > 37.66 AND {lat} < 37.86 AND {lng} > -122.54 AND {lng} < -122.34)
+ AS n_sf,
+ (SELECT COUNT(*) FROM orders
+  WHERE {lat} > -33.97 AND {lat} < -33.77 AND {lng} > 151.11 AND {lng} < 151.31)
+ AS n_sydney
+"""
+
+
+def q22_h3_roundtrip_invariant(spark, sf_dir):
+    """Kernel invariant surfaced through the driver: every derived point
+    must round-trip encode -> centroid -> encode to the same cell."""
+    pts = derived_points(spark, sf_dir)
+    enc = pts.withColumn("cell", geo_to_h3_udf(9)("lat", "lng"))
+    dec = enc.withColumn("c", h3_to_geo_udf("cell")).select(
+        "cell", F.col("c.lat").alias("clat"), F.col("c.lng").alias("clng")
+    )
+    re_enc = dec.withColumn("cell2", geo_to_h3_udf(9)("clat", "clng"))
+    return spark.createDataFrame(
+        [
+            (
+                pts.count(),
+                re_enc.where(F.col("cell") == F.col("cell2")).count(),
+            )
+        ],
+        "n long, n_roundtrip_ok long",
+    )
+
+
+Q22_SQL = """
+SELECT COUNT(*) AS n, COUNT(*) AS n_roundtrip_ok FROM orders
+"""
+
+
+def q23_h3_cell_density(spark, sf_dir):
+    pts = derived_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", geo_to_h3_udf(7)("lat", "lng"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "cell")
+        .limit(20)
+    )
+
+
+def q24_h3_kring(spark, sf_dir):
+    pts = derived_points(spark, sf_dir).limit(200)
+    cells = pts.withColumn("cell", geo_to_h3_udf(7)("lat", "lng"))
+    return (
+        cells.withColumn("ring_cell", F.explode(k_ring_udf(2)("cell")))
+        .groupBy("cell")
+        .agg(F.count("*").alias("disk_size"))
+    )
+
+
+def q25_h3_parent_rollup(spark, sf_dir):
+    pts = derived_points(spark, sf_dir)
+    cells = pts.withColumn("cell", geo_to_h3_udf(9)("lat", "lng"))
+    return (
+        cells.withColumn("cell_r5", h3_to_parent_col("cell", 5))
+        .groupBy("cell_r5")
+        .agg(F.count("*").alias("n"), F.countDistinct("cell").alias("n_cells"))
+        .orderBy(F.desc("n"), "cell_r5")
+        .limit(20)
+    )
+
+
+def q26_pip_polygons(spark, sf_dir):
+    """Flagship: exact PIP join of derived points against the reference's
+    test polygons (compacted broadcast build + boundary refine)."""
+    pts = derived_points(spark, sf_dir).withColumn(
+        "cell", geo_to_h3_udf(9)("lat", "lng")
+    ).withColumn("image_id", F.col("point_id"))
+    polys = {k: v for k, v in POLYGONS.items() if v[2] == 9}
+    return pip_count(spark, pts, polys, prune_partitions=False).orderBy("polygon_id")
+
+
+def q27_polygon_cover(spark, sf_dir):
+    from .operators.pip_join import build_polygon_cells
+
+    pdf = build_polygon_cells(POLYGONS, compacted=True)
+    return spark.createDataFrame(pdf)
+
+
+def q28_boundary_verts(spark, sf_dir):
+    pts = derived_points(spark, sf_dir).limit(100)
+    cells = pts.withColumn("cell", geo_to_h3_udf(7)("lat", "lng")).select("cell").distinct()
+    return (
+        cells.withColumn("vert", F.explode(h3_boundary_udf("cell")))
+        .select(
+            "cell",
+            F.round(F.col("vert.lat"), 9).alias("vlat"),
+            F.round(F.col("vert.lng"), 9).alias("vlng"),
+        )
+    )
+
+
+def q29_knn(spark, sf_dir):
+    pts = (
+        derived_points(spark, sf_dir, "customer", "c_custkey")
+        .withColumn("cell", geo_to_h3_udf(5)("lat", "lng"))
+        .withColumn("image_id", F.col("point_id"))
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [f"q{i}" for i in range(6)],
+                "lat": [37.76, 37.80, 40.71, -33.87, 0.30, 52.0],
+                "lng": [-122.44, -122.40, -74.01, 151.21, 0.20, 5.0],
+            }
+        )
+    )
+    out = knn_join(spark, pts, queries, k=3, res=5, max_ring=256)
+    return out.select(
+        "query_id",
+        F.col("image_id").alias("point_id"),
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
+def _q29_sql():
+    lat = lat_sql("c_custkey")
+    lng = lng_sql("c_custkey")
+    return f"""
+WITH pts AS (SELECT c_custkey AS point_id, {lat} AS lat, {lng} AS lng FROM customer),
+qs AS (SELECT * FROM (VALUES ('q0', 37.76, -122.44), ('q1', 37.80, -122.40),
+        ('q2', 40.71, -74.01), ('q3', -33.87, 151.21), ('q4', 0.30, 0.20),
+        ('q5', 52.0, 5.0)) AS t(query_id, qlat, qlng)),
+scored AS (
+  SELECT query_id, point_id,
+    2.0 * 6371007.180918475 * asin(sqrt(
+      pow(sin(radians(lat - qlat) / 2), 2) +
+      cos(radians(qlat)) * cos(radians(lat)) *
+      pow(sin(radians(lng - qlng) / 2), 2))) AS dist_m
+  FROM pts, qs)
+SELECT query_id, point_id, ROUND(dist_m, 3) AS dist_m FROM (
+  SELECT query_id, point_id, dist_m,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist_m, point_id) AS rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
+def q30_events_sessions(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session (lag + cumsum)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q30_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def catalog():
+    """name -> (callable, oracle_sql | None)."""
+    return {
+        "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+        "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
+        "q03_brand_window_topk": (q03_brand_window_topk, Q03_SQL),
+        "q04_events_hourly": (q04_events_hourly, Q04_SQL),
+        "q05_setops": (q05_setops, Q05_SQL),
+        "q06_broadcast_join_parts": (q06_broadcast_join_parts, Q06_SQL),
+        "q07_salted_join": (q07_salted_join, Q07_SQL),
+        "q08_salted_agg": (q08_salted_agg, Q08_SQL),
+        "q09_dedup_exact": (q09_dedup_exact, Q09_SQL),
+        "q10_token_stats": (q10_token_stats, Q10_SQL),
+        "q11_quality_scores": (q11_quality_scores, Q11_SQL),
+        "q12_lang_id": (q12_lang_id, None),
+        "q13_fingerprints": (q13_fingerprints, None),
+        "q14_minhash_pairs": (q14_minhash_pairs, None),
+        "q15_simhash_pairs": (q15_simhash_pairs, None),
+        "q16_ngram_jaccard": (q16_ngram_jaccard, None),
+        "q17_embedding_near_dup": (q17_embedding_near_dup, None),
+        "q18_cosine_topk": (q18_cosine_topk, Q18_SQL),
+        "q19_embedding_stats": (q19_embedding_stats, Q19_SQL),
+        "q20_ivf_topk": (q20_ivf_topk, None),
+        "q21_pip_rect_sql": (q21_pip_rect_sql, _q21_sql()),
+        "q22_h3_roundtrip_invariant": (q22_h3_roundtrip_invariant, Q22_SQL),
+        "q23_h3_cell_density": (q23_h3_cell_density, None),
+        "q24_h3_kring": (q24_h3_kring, None),
+        "q25_h3_parent_rollup": (q25_h3_parent_rollup, None),
+        "q26_pip_polygons": (q26_pip_polygons, None),
+        "q27_polygon_cover": (q27_polygon_cover, None),
+        "q28_boundary_verts": (q28_boundary_verts, None),
+        "q29_knn": (q29_knn, _q29_sql()),
+        "q30_events_sessions": (q30_events_sessions, Q30_SQL),
+    }

@@ -1,0 +1,43 @@
+"""SparkSession builder tuned for the engine.
+
+Design-for-scale defaults (SURVEY.md §4.2): Arrow-batched Python UDF
+transfer, AQE with skew-join handling, explicit shuffle partitioning.
+Iceberg is the nominal table format at design scale (BASELINE.json); in
+this sandbox no Iceberg runtime jar is bundled with pyspark, so the
+warehouse transparently falls back to parquet paths (sources/io.py) —
+the table layout (partition spec, schema) is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "h3-rs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(os.environ.get(
+        "SPARK_SHUFFLE_PARTITIONS", str(min(64, 2 * int(cpus)))
+    ))
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
