@@ -18,8 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.native import haversine_m_col
-from ..functions.udfs import geo_to_h3_udf
+from ..functions.native import h3_to_parent_col, haversine_m_col
 from ..h3core import traversal
 from ..h3core.constants import EDGE_LENGTH_M
 
@@ -38,6 +37,9 @@ def _guaranteed_radius_m(ring: int, res: int) -> float:
     return max(0.0, ((ring + 1) * 0.866 - 1.16) * s)
 
 
+_COARSEN_AT = 16  # ring size beyond which we escalate to a coarser res
+
+
 def knn_join(
     spark: SparkSession,
     images: DataFrame,
@@ -45,8 +47,8 @@ def knn_join(
     k: int,
     res: int,
     cell_col: str = "cell",
-    initial_ring: int = 1,
-    max_ring: int = 64,
+    initial_ring: int = 2,
+    max_ring: int = 1 << 20,
 ) -> DataFrame:
     """Exact k nearest images per query point.
 
@@ -54,19 +56,29 @@ def knn_join(
     queries: query_id, lat, lng (k is the parameter, uniform per call).
     Returns (query_id, image_id, dist_m, rank), ties broken by image_id —
     matching the single-process oracle row-for-row.
+
+    Multi-resolution escalation: queries in sparse regions would need
+    huge rings at the base res, so once the ring exceeds _COARSEN_AT the
+    round re-runs at res-2 (49x larger cells) with the probe keyed on the
+    JVM-computed parent cell — same coverage, bounded ring sizes, and the
+    fact table never gains a new column or shuffle. `max_ring` bounds the
+    *equivalent base-res ring* (geo radius), not the per-round BFS size.
     """
     q_pdf = queries.select("query_id", "lat", "lng").toPandas()
-    q_pdf["q_cell"] = traversal.fk.geo_to_h3(
-        q_pdf["lat"].to_numpy(), q_pdf["lng"].to_numpy(), res
-    )
 
     remaining = q_pdf
     ring = initial_ring
+    res_eff = res
     results = []
-    while len(remaining) and ring <= max_ring:
-        owner, cells, _dist = traversal.k_ring_distances(
-            remaining["q_cell"].to_numpy(dtype=np.int64), ring
+    while len(remaining):
+        # escalate resolution if the ring got large
+        while ring > _COARSEN_AT and res_eff > 0:
+            res_eff = max(0, res_eff - 2)
+            ring = max(1, ring // 7)
+        q_cells = traversal.fk.geo_to_h3(
+            remaining["lat"].to_numpy(), remaining["lng"].to_numpy(), res_eff
         )
+        owner, cells, _dist = traversal.k_ring_distances(q_cells, ring)
         cand_pdf = pd.DataFrame(
             {
                 "query_id": remaining["query_id"].to_numpy()[owner],
@@ -76,38 +88,37 @@ def knn_join(
             }
         )
         cand = F.broadcast(spark.createDataFrame(cand_pdf))
-        matched = images.join(cand, images[cell_col] == cand["cand_cell"], "inner")
+        probe_key = (
+            images[cell_col]
+            if res_eff == res
+            else h3_to_parent_col(images[cell_col], res_eff)
+        )
+        matched = images.join(cand, probe_key == cand["cand_cell"], "inner")
         scored = matched.withColumn(
             "dist_m",
             haversine_m_col(F.col("q_lat"), F.col("q_lng"), F.col("lat"), F.col("lng")),
         )
         w = Window.partitionBy("query_id").orderBy("dist_m", "image_id")
-        topk = (
+        # one Spark job per round: the k x |queries| top rows come back to
+        # the driver and all the completion bookkeeping happens in pandas
+        topk_pdf = (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "image_id", "dist_m", "rank")
-        )
-        stats = (
-            topk.groupBy("query_id")
-            .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
             .toPandas()
         )
-        safe = _guaranteed_radius_m(ring, res)
-        done_ids = set(
-            stats.loc[(stats["cnt"] >= k) & (stats["kth"] <= safe), "query_id"]
-        )
-        if ring >= max_ring:
+        stats = topk_pdf.groupby("query_id")["dist_m"].agg(["count", "max"])
+        safe = _guaranteed_radius_m(ring, res_eff)
+        done_ids = set(stats.index[(stats["count"] >= k) & (stats["max"] <= safe)])
+        # effective base-res ring for the max_ring bound
+        eq_base_ring = ring * 7 ** ((res - res_eff) // 2)
+        if eq_base_ring >= max_ring or (res_eff == 0 and ring >= 32):
+            # res-0 ring 32 spans the whole grid: candidates == everything
             done_ids = set(remaining["query_id"])
         if done_ids:
-            results.append(
-                topk.where(F.col("query_id").isin(sorted(done_ids))).toPandas()
-            )
+            results.append(topk_pdf[topk_pdf["query_id"].isin(done_ids)])
         remaining = remaining[~remaining["query_id"].isin(done_ids)]
-        ring = ring * 2
-    if len(remaining):
-        raise RuntimeError(
-            f"knn_join: {len(remaining)} queries unsatisfied at max_ring={max_ring}"
-        )
+        ring = ring * 4
     out = pd.concat(results, ignore_index=True) if results else pd.DataFrame(
         columns=["query_id", "image_id", "dist_m", "rank"]
     )

@@ -97,23 +97,39 @@ def pip_join(
 
 
 def _refine_boundary(joined: DataFrame, polygons: dict) -> DataFrame:
-    """Exact PIP for rows matched via boundary cells only."""
+    """Exact PIP for rows matched via boundary cells.
+
+    Single Arrow pass over the matched rows; the ray-casting kernel runs
+    only on the boundary-matched subset (interior matches short-circuit
+    to True inside the batch), so the plan keeps one probe scan and the
+    Python cost is proportional to boundary matches, not all matches.
+    """
     geoms = {pid: (ext, holes) for pid, (ext, holes, _res) in polygons.items()}
 
     @F.pandas_udf(BooleanType())
-    def _pip(polygon_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
-        out = np.zeros(len(polygon_id), dtype=bool)
-        la = lat.to_numpy(dtype=np.float64)
-        ln = lng.to_numpy(dtype=np.float64)
-        for pid, idx in polygon_id.groupby(polygon_id).groups.items():
-            ext, holes = geoms[pid]
-            ii = np.asarray(idx)
-            out[ii] = regions.points_in_polygon(ln[ii], la[ii], ext, holes)
+    def _pip(
+        polygon_id: pd.Series, lat: pd.Series, lng: pd.Series,
+        is_boundary: pd.Series,
+    ) -> pd.Series:
+        out = np.ones(len(polygon_id), dtype=bool)
+        mask = is_boundary.to_numpy(dtype=bool)
+        if mask.any():
+            la = lat.to_numpy(dtype=np.float64)
+            ln = lng.to_numpy(dtype=np.float64)
+            sub = polygon_id[mask]
+            res = np.zeros(int(mask.sum()), dtype=bool)
+            pos = np.flatnonzero(mask)
+            for pid, idx in sub.groupby(sub).groups.items():
+                ext, holes = geoms[pid]
+                ii = np.asarray(idx)
+                res_idx = np.searchsorted(pos, ii)
+                res[res_idx] = regions.points_in_polygon(
+                    ln[ii], la[ii], ext, holes
+                )
+            out[mask] = res
         return pd.Series(out)
 
-    return joined.where(
-        (~F.col("is_boundary")) | _pip("polygon_id", "lat", "lng")
-    )
+    return joined.where(_pip("polygon_id", "lat", "lng", "is_boundary"))
 
 
 def pip_count(spark, images, polygons, **kw) -> DataFrame:

@@ -562,7 +562,7 @@ def q28_boundary_verts(spark, sf_dir):
 def q29_knn(spark, sf_dir):
     pts = (
         derived_points(spark, sf_dir, "customer", "c_custkey")
-        .withColumn("cell", geo_to_h3_udf(5)("lat", "lng"))
+        .withColumn("cell", geo_to_h3_udf(7)("lat", "lng"))
         .withColumn("image_id", F.col("point_id"))
     )
     queries = spark.createDataFrame(
@@ -574,7 +574,7 @@ def q29_knn(spark, sf_dir):
             }
         )
     )
-    out = knn_join(spark, pts, queries, k=3, res=5, max_ring=256)
+    out = knn_join(spark, pts, queries, k=3, res=7)
     return out.select(
         "query_id",
         F.col("image_id").alias("point_id"),

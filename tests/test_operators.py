@@ -1,0 +1,267 @@
+"""Spark operator tests against single-process numpy oracles.
+
+Strategy per SURVEY.md §5: every distributed operator must reproduce the
+brute-force single-process answer row-for-row on the deterministic
+synthetic tables (FIXTURES.md)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from h3_rs_spark.h3core import faceijk, regions
+from h3_rs_spark.operators import dedup, simsearch, skew
+from h3_rs_spark.operators.knn import knn_join, knn_oracle
+from h3_rs_spark.operators.pip_join import pip_join
+from h3_rs_spark.operators.tiling import decode_image, psnr_db, tile_assign
+from h3_rs_spark.sources import datagen, io
+
+N_IMAGES = 4000
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = io.with_geo(
+        datagen.generate_images(spark, N_IMAGES, w=16, h=16), res=9
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_geo():
+    ids = np.arange(N_IMAGES, dtype=np.int64)
+    lat, lng = datagen.row_geography(ids)
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{i:012d}" for i in ids],
+            "lat": lat,
+            "lng": lng,
+        }
+    )
+
+
+class TestInputInvariants:
+    def test_caption_roundtrip_and_pixels(self, images):
+        """input_hint gates: caption equality end-to-end and decoded
+        pixels exact (PSNR infinite for rgb24)."""
+        rows = images.orderBy("image_id").limit(5).collect()
+        for i, r in enumerate(rows):
+            assert r["caption"] == f"photo {r['image_id']} at " \
+                f"{r['lat']:.6f},{r['lng']:.6f}"
+            px = decode_image(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+            rng = np.random.default_rng(datagen.SEED + i)
+            expected = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            assert psnr_db(px, expected) == float("inf")
+
+    def test_distributed_generation_matches_oracle(self, spark):
+        got = (
+            datagen.generate_images(spark, 500, w=8, h=8)
+            .orderBy("image_id")
+            .toPandas()
+        )
+        exp = datagen.images_oracle_pdf(500, 8, 8)
+        assert got["caption"].tolist() == exp["caption"].tolist()
+        assert got["phash"].tolist() == exp["phash"].tolist()
+        assert bytes(got["bytes"][0]) == exp["bytes"][0]
+
+
+class TestPipJoin:
+    def test_exact_vs_oracle(self, spark, images, oracle_geo):
+        polys = {k: v for k, v in datagen.POLYGONS.items() if v[2] == 9}
+        got = (
+            pip_join(spark, images, polys)
+            .select("polygon_id", "image_id")
+            .toPandas()
+        )
+        for pid, (ext, holes, _res) in polys.items():
+            inside = regions.points_in_polygon(
+                oracle_geo["lng"].to_numpy(), oracle_geo["lat"].to_numpy(),
+                ext, holes,
+            )
+            exp_ids = set(oracle_geo.loc[inside, "image_id"])
+            got_ids = set(got.loc[got["polygon_id"] == pid, "image_id"])
+            assert got_ids == exp_ids, (
+                pid, len(got_ids), len(exp_ids),
+                list(got_ids ^ exp_ids)[:5],
+            )
+
+    def test_no_double_counting(self, spark, images):
+        """Compacted antichain: each image matches each polygon <= once."""
+        polys = {"sf_hexagon": datagen.POLYGONS["sf_hexagon"]}
+        got = pip_join(spark, images, polys).groupBy(
+            "polygon_id", "image_id"
+        ).count()
+        assert got.where(F.col("count") > 1).count() == 0
+
+    def test_compacted_equals_uncompacted(self, spark, images):
+        polys = {"sf_hexagon": datagen.POLYGONS["sf_hexagon"]}
+        a = set(
+            r[0]
+            for r in pip_join(spark, images, polys, compacted=True)
+            .select("image_id").collect()
+        )
+        b = set(
+            r[0]
+            for r in pip_join(spark, images, polys, compacted=False)
+            .select("image_id").collect()
+        )
+        assert a == b
+
+    def test_partition_pruning_filter(self, spark, images):
+        polys = {"sf_hexagon": datagen.POLYGONS["sf_hexagon"]}
+        plan = pip_join(
+            spark, images, polys, prune_partitions=True
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "bc0" in plan  # coarse-cell prefilter present
+
+
+class TestKnn:
+    def test_exact_vs_oracle(self, spark, images, oracle_geo):
+        queries = datagen.generate_knn_queries(spark, n=24, k=5)
+        q_pdf = queries.toPandas()
+        got = knn_join(spark, images, queries, k=5, res=9).toPandas()
+        exp = knn_oracle(oracle_geo, q_pdf, k=5)
+        g = got.sort_values(["query_id", "rank"], ignore_index=True)
+        x = exp.sort_values(["query_id", "rank"], ignore_index=True)
+        assert g["image_id"].tolist() == x["image_id"].tolist()
+        assert np.allclose(g["dist_m"], x["dist_m"], rtol=1e-9, atol=1e-6)
+
+
+class TestTiling:
+    def test_tile_assignment_vs_oracle(self, spark, images):
+        tiles = tile_assign(images.limit(64), tile_px=8, res=15).toPandas()
+        assert len(tiles) == 64 * 4  # 16x16 image, 8px tiles -> 2x2
+        # oracle: recompute one image's tiles in-process
+        row = images.orderBy("image_id").first()
+        px = decode_image(bytes(row["bytes"]), 16, 16, "rgb24")
+        sub = tiles[tiles["image_id"] == row["image_id"]].sort_values(
+            ["tile_y", "tile_x"]
+        )
+        assert len(sub) == 4
+        means = px[:8, :8, :].astype(np.float64).mean(axis=(0, 1))
+        first = sub.iloc[0]
+        assert np.allclose(
+            [first["mean_r"], first["mean_g"], first["mean_b"]], means
+        )
+        # cell assignment matches direct kernel call on tile centers
+        lat = row["lat"] - (0.5 * 8 - 8.0) * 1e-6
+        lng = row["lng"] + (0.5 * 8 - 8.0) * 1e-6
+        expected_cell = int(
+            faceijk.geo_to_h3(np.array([lat]), np.array([lng]), 15)[0]
+        )
+        assert int(first["cell"]) == expected_cell
+
+    def test_unknown_fmt_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"", 1, 1, "png")
+
+
+class TestSkew:
+    def test_salted_join_equals_plain(self, spark, images):
+        build = images.select("cell").distinct().withColumn(
+            "tag", F.lit("x")
+        )
+        plain = images.join(build, "cell").count()
+        salted = skew.salted_join(images, build, "cell", salt_buckets=8).count()
+        assert plain == salted
+
+    def test_salted_agg_equals_plain(self, spark, images):
+        plain = {
+            r["cell"]: r["n"]
+            for r in images.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        salted = {
+            r["cell"]: r["n_rows"]
+            for r in skew.salted_aggregate(
+                images, "cell", [("n_rows", "count")], salt_buckets=8
+            ).collect()
+        }
+        assert plain == salted
+
+    def test_hot_keys_finds_metros(self, spark, images):
+        hot = skew.hot_keys(images, "bc0", threshold=N_IMAGES / 10, fraction=0.5)
+        assert len(hot) >= 1  # SF base cell is ~30% of data
+
+
+class TestDedupOps:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rng = np.random.default_rng(8)
+        vocab = [f"w{c}" for c in range(200)]
+        texts = (
+            ["the quick brown fox jumps over the lazy dog"] * 3
+            + ["the quick brown fox jumps over a lazy dog"]
+            + ["completely different text about spark engines"]
+            + [
+                " ".join(rng.choice(vocab, size=12, replace=False))
+                for _ in range(10)
+            ]
+        )
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+
+    def test_exact_dedup(self, spark, docs):
+        out = dedup.exact_dedup(docs).toPandas()
+        assert out["dup_count"].max() == 3
+        assert out["dup_count"].sum() == 15
+
+    def test_minhash_finds_near_dup(self, spark, docs):
+        pairs = dedup.minhash_lsh_dedup(
+            docs, jaccard_threshold=0.3, shingle=4
+        ).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        # the three exact copies and the 1-word variant must pair up
+        assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+        assert (0, 3) in got or (1, 3) in got or (2, 3) in got
+        # unrelated docs must not pair
+        assert not any(a >= 5 or b >= 5 for a, b in got)
+
+    def test_simhash_near_dup(self, spark, docs):
+        pairs = dedup.simhash_dedup(docs, max_hamming=8).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (0, 1) in got and (0, 3) in got
+
+    def test_ngram_jaccard_exact(self, spark, docs):
+        cand = spark.createDataFrame(
+            pd.DataFrame({"id_a": [0, 0], "id_b": [1, 4]})
+        )
+        out = dedup.ngram_jaccard_pairs(docs, cand, n=3).toPandas()
+        j = dict(zip(zip(out.id_a, out.id_b), out.jaccard))
+        assert j[(0, 1)] == 1.0  # identical docs
+        assert j[(0, 4)] == 0.0  # disjoint docs
+
+
+class TestSimsearch:
+    def test_ivf_recall(self, spark):
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((400, 16)).astype(np.float32)
+        vecs = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(400), "embedding": [v.tolist() for v in base]}
+            )
+        )
+        q_pdf = pd.DataFrame(
+            {
+                "query_id": [f"q{i}" for i in range(8)],
+                "q_vec": [base[i].tolist() for i in range(8)],
+            }
+        )
+        exact = simsearch.cosine_topk(
+            vecs,
+            spark.createDataFrame(q_pdf),
+            k=5,
+        ).toPandas()
+        approx = simsearch.ivf_topk(
+            spark, vecs, q_pdf, k=5, nlist=8, nprobe=4
+        ).toPandas()
+        exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+        approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+        recall = np.mean(
+            [
+                len(exact_sets[q] & approx_sets.get(q, set())) / 5
+                for q in exact_sets.index
+            ]
+        )
+        assert recall >= 0.7, recall
