@@ -44,8 +44,9 @@ for _d, (_i, _j, _k) in enumerate(UNIT_VECS):
 
 def ijk_normalize(ijk: np.ndarray) -> np.ndarray:
     """Normalize so min(i,j,k) == 0 (cube coords are redundant by +(1,1,1))."""
-    m = ijk.min(axis=-1, keepdims=True)
-    return ijk - m
+    # pairwise minimum over column views beats a strided axis-reduce
+    m = np.minimum(np.minimum(ijk[..., 0], ijk[..., 1]), ijk[..., 2])
+    return ijk - m[..., None]
 
 
 def ijk_to_digit(ijk: np.ndarray) -> np.ndarray:

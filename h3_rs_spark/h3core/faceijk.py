@@ -60,13 +60,49 @@ _VERTS_CIII = np.array(
     [[5, 4, 0], [1, 5, 0], [0, 5, 4], [0, 1, 5], [4, 0, 5], [5, 0, 1]], dtype=np.int64
 )
 
+# _ROT_CCW_POW[r, d] = digit d rotated ccw r times (7 -> 7 fixed point),
+# so whole-batch hexagon rotations are a single fancy-index gather
+from .coordijk import ROTATE60_CCW_DIGIT as _R1  # noqa: E402
+
+_ROT_CCW_POW = np.empty((6, 8), dtype=np.uint8)
+_ROT_CCW_POW[0] = np.arange(8)
+for _r in range(1, 6):
+    _ROT_CCW_POW[_r] = _R1[_ROT_CCW_POW[_r - 1]]
+
 
 # --------------------------------------------------------------------------
 # encode: geo -> H3
 # --------------------------------------------------------------------------
 
+# Cache-sized work chunks: the kernels allocate dozens of temporaries per
+# call; above ~2k rows each temp crosses the allocator's mmap threshold and
+# 32 parallel workers serialize on kernel page faults (measured: 32-process
+# aggregate throughput 1.5M rows/s unchunked vs 8.4M rows/s chunked).
+_CHUNK = 2048
+
+
+def _chunked(fn, n_out: int):
+    def run(arr_args, scalar_args):
+        n = arr_args[0].shape[0]
+        if n <= _CHUNK:
+            return fn(*arr_args, *scalar_args)
+        outs = [fn(*(a[s:s + _CHUNK] for a in arr_args), *scalar_args)
+                for s in range(0, n, _CHUNK)]
+        if n_out == 1:
+            return np.concatenate(outs)
+        return tuple(np.concatenate([o[i] for o in outs]) for i in range(n_out))
+
+    return run
+
+
 def geo_to_h3(lat_deg, lng_deg, res: int) -> np.ndarray:
     """(lat, lng) degrees -> H3 cell at `res`. NaN inputs -> 0 (invalid)."""
+    lat_deg = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lng_deg = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
+    return _chunked(_geo_to_h3_impl, 1)((lat_deg, lng_deg), (res,))
+
+
+def _geo_to_h3_impl(lat_deg, lng_deg, res: int) -> np.ndarray:
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
     bad = ~(np.isfinite(lat) & np.isfinite(lng))
@@ -120,31 +156,38 @@ def _face_ijk_to_h3(face: np.ndarray, ijk: np.ndarray, res: int) -> np.ndarray:
     pent = BASE_CELL_IS_PENTAGON[base_cell]
     res_arr = np.full(n, res, dtype=np.int64)
 
-    # pentagon deleted-k-subsequence adjustment
-    if pent.any():
-        lead = ix.leading_nonzero_digit(digits, res_arr)
-        adj = pent & (lead == 1)
+    # pentagon deleted-k-subsequence adjustment (pentagon rows only)
+    pent_idx = np.flatnonzero(pent)
+    if pent_idx.size:
+        sub = digits[pent_idx]
+        sub_res = res_arr[pent_idx]
+        lead = ix.leading_nonzero_digit(sub, sub_res)
+        adj = lead == 1
         if adj.any():
-            cw_off = t.PENT_CW_OFFSET[base_cell, face]
-            d_cw = ix.rotate60_cw_digits(digits, res_arr)
-            d_ccw = ix.rotate60_ccw_digits(digits, res_arr)
-            digits = np.where(
-                adj[:, None], np.where(cw_off[:, None], d_cw, d_ccw), digits
+            cw_off = t.PENT_CW_OFFSET[base_cell[pent_idx], face[pent_idx]]
+            d_cw = ix.rotate60_cw_digits(sub, sub_res)
+            d_ccw = ix.rotate60_ccw_digits(sub, sub_res)
+            sub = np.where(
+                adj[:, None], np.where(cw_off[:, None], d_cw, d_ccw), sub
             )
+        # pentagon orientation rotations (rare rows; per-step loop)
+        sub_rot = rot[pent_idx]
+        for step in range(1, int(sub_rot.max()) + 1 if sub_rot.size else 1):
+            sel = sub_rot >= step
+            if not sel.any():
+                break
+            rotated = ix.rotate_pent60_ccw_digits(sub[sel], sub_res[sel])
+            sub[sel] = rotated
+        digits[pent_idx] = sub
 
-    # orientation rotations into the base cell's home system
-    max_rot = int(rot.max()) if n else 0
-    for step in range(1, max_rot + 1):
-        todo = rot >= step
-        if not todo.any():
-            continue
-        d_hex = ix.rotate60_ccw_digits(digits, res_arr)
-        d_pent = ix.rotate_pent60_ccw_digits(digits, res_arr)
-        digits = np.where(
-            todo[:, None], np.where(pent[:, None], d_pent, d_hex), digits
-        )
+    # hexagon orientation rotations: one gather via permutation powers
+    hex_idx = np.flatnonzero(~pent & (rot > 0))
+    if hex_idx.size:
+        digits[hex_idx] = _ROT_CCW_POW[
+            rot[hex_idx, None], digits[hex_idx].astype(np.int64)
+        ]
 
-    h = ix.from_components(base_cell, res_arr, digits)
+    h = ix.from_components(base_cell, res, digits)
     return np.where(in_range, h, np.int64(0))
 
 
@@ -277,6 +320,11 @@ def _adjust_overage_class2(face, ijk, res, pent_leading4, substrate: bool):
 
 def h3_to_geo(h) -> tuple[np.ndarray, np.ndarray]:
     """Cell -> centroid (lat_deg, lng_deg)."""
+    h = np.atleast_1d(np.asarray(h, dtype=np.int64))
+    return _chunked(_h3_to_geo_impl, 2)((h,), ())
+
+
+def _h3_to_geo_impl(h) -> tuple[np.ndarray, np.ndarray]:
     face, ijk, res = _h3_to_face_ijk(h)
     v = ijk_to_hex2d(ijk)
     lat = np.zeros(res.shape)
@@ -307,6 +355,10 @@ def h3_to_geo_boundary(h) -> tuple[np.ndarray, np.ndarray]:
     and is matched exactly at 1e-9.
     """
     h = np.atleast_1d(np.asarray(h, dtype=np.int64))
+    return _chunked(_h3_to_geo_boundary_impl, 2)((h,), ())
+
+
+def _h3_to_geo_boundary_impl(h) -> tuple[np.ndarray, np.ndarray]:
     res = ix.get_resolution(h)
     pent = ix.is_pentagon(h)
 

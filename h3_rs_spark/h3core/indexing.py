@@ -63,8 +63,21 @@ def from_components(base_cell, res, digits) -> np.ndarray:
     Digits beyond `res` are forced to 7 regardless of input.
     """
     base_cell = np.atleast_1d(_i64(base_cell))
-    res = np.broadcast_to(_i64(res), base_cell.shape)
     digits = np.asarray(digits, dtype=np.int64)
+    if np.ndim(res) == 0:
+        # uniform-res fast path: accumulate used digits, constant 7-tail
+        r = int(res)
+        packed = np.zeros(base_cell.shape, dtype=np.int64)
+        for i in range(r):
+            packed |= digits[:, i] << (3 * (MAX_RES - 1 - i))
+        packed |= np.int64((1 << (3 * (MAX_RES - r))) - 1)
+        return (
+            np.int64(H3_MODE_CELL) << 59
+            | np.int64(r << 52)
+            | (base_cell << 45)
+            | packed
+        )
+    res = np.broadcast_to(_i64(res), base_cell.shape)
     r_idx = np.arange(1, MAX_RES + 1, dtype=np.int64)
     use = r_idx[None, :] <= res[:, None]
     d = np.where(use, digits, 7)

@@ -64,10 +64,18 @@ def pip_join(
     compacted: bool = True,
     refine: bool = True,
     prune_partitions: bool = True,
+    prebuilt_cells: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Join images (with a `cell_col` at each polygon's res and lat/lng
-    columns) against polygons; returns matched rows + polygon_id."""
-    build_pdf = build_polygon_cells(polygons, compacted=compacted)
+    columns) against polygons; returns matched rows + polygon_id.
+
+    prebuilt_cells: pass the build_polygon_cells() output to reuse the
+    driver-side polyfill across repeated joins (benchmark steady state)."""
+    build_pdf = (
+        prebuilt_cells
+        if prebuilt_cells is not None
+        else build_polygon_cells(polygons, compacted=compacted)
+    )
     build_res = sorted(
         int(r) for r in np.unique(ix.get_resolution(build_pdf["cell"].to_numpy()))
     )
