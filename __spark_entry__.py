@@ -16,18 +16,45 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
 
 from h3_rs_spark import queries as Q  # noqa: E402
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Executor python workers don't inherit the driver's sys.path; ship
+    the package zip so pandas UDFs unpickle when the harness launches
+    from any cwd."""
+    zip_path = _REPO / "dist" / "h3_rs_spark.zip"
+    if not zip_path.exists():
+        import zipfile
+
+        zip_path.parent.mkdir(exist_ok=True)
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for py in sorted((_REPO / "h3_rs_spark").rglob("*.py")):
+                zf.write(py, py.relative_to(_REPO))
+    marker = "_h3_rs_spark_pyfile_added"
+    if not getattr(spark.sparkContext, marker, False):
+        spark.sparkContext.addPyFile(str(zip_path))
+        setattr(spark.sparkContext, marker, True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_workers_can_import(spark)
     return Q.q26_pip_polygons(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in Q.catalog().items()}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in Q.catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:

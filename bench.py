@@ -203,17 +203,35 @@ def pip_only():
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
 
     n = SCALING_N
+    phase = os.environ.get("BENCH_PHASE", "pipeline")
     raw_path = io.warehouse_path(f"images_raw_n{n}")
     if not os.path.exists(os.path.join(raw_path, "_SUCCESS")):
         datagen.generate_images(
             spark, n, w=4, h=4, parts=256, fast_bytes=True
         ).write.mode("overwrite").parquet(raw_path)
+    if phase == "join":
+        # measure the join phase on the *ingested* table (cell column
+        # materialized at ingest, the design-scale layout) — the
+        # encode/parse cost is paid once at ingest, not per query
+        ing_path = io.warehouse_path(f"images_ingested_n{n}")
+        if not os.path.exists(os.path.join(ing_path, "_SUCCESS")):
+            io.with_geo(spark.read.parquet(raw_path), res=9).drop(
+                "bytes"
+            ).write.mode("overwrite").parquet(ing_path)
+        src_path = ing_path
+    else:
+        src_path = raw_path
 
     polys9 = {k: v for k, v in datagen.POLYGONS.items() if v[2] == 9}
     prebuilt = build_polygon_cells(polys9, compacted=True)
 
+    replicate = int(os.environ.get("BENCH_JOIN_REPLICATE", "1"))
+
     def run_once() -> float:
-        images = io.with_geo(spark.read.parquet(raw_path), res=9)
+        df = spark.read.parquet(src_path)
+        for _ in range(replicate - 1):
+            df = df.union(spark.read.parquet(src_path))
+        images = df if phase == "join" else io.with_geo(df, res=9)
         t0 = time.time()
         pip_count(
             spark, images, polys9, prebuilt_cells=prebuilt,
@@ -229,9 +247,10 @@ def pip_only():
             {
                 "pip_sec": round(dt, 3),
                 "reps": [round(r, 3) for r in reps],
-                "rows_per_sec": round(n / dt, 1),
-                "n_images": n,
+                "rows_per_sec": round(n * replicate / dt, 1),
+                "n_images": n * replicate,
                 "cpus": CPUS,
+                "phase": phase,
             }
         )
     )
