@@ -372,6 +372,24 @@ def q16_ngram_jaccard(spark, sf_dir):
     ).where(F.col("jaccard") > 0)
 
 
+Q16_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(words[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(words)-2, 1))]) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents WHERE doc_id < 30)
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          GREATEST(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6)
+      AS jaccard
+  FROM g a, g b WHERE a.doc_id < b.doc_id
+) WHERE jaccard > 0
+"""
+
+
 def q17_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup(e, cos_threshold=0.25)
@@ -639,6 +657,107 @@ FROM g GROUP BY user_id
 """
 
 
+def q31_image_features(spark, sf_dir):
+    """Multimodal plumbing over synthesized rgb24 images: decode ->
+    resize -> histogram features (rows-only; oracle is the in-process
+    recompute in tests/test_multimodal.py)."""
+    from .operators import multimodal as mm
+    from .sources.datagen import generate_images
+
+    imgs = generate_images(spark, 500, w=16, h=16, fast_bytes=True)
+    feats = mm.image_features(imgs, bins=8)
+    return feats.select(
+        "image_id",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feature_sum"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+def q32_compact_roundtrip(spark, sf_dir):
+    """Pins the engine to the upstream golden constants through the
+    driver: SF polygon polyfill@9 = 1253 cells, compacted 209, uncompact
+    returns the identical set."""
+    from .h3core import compact, polyfill, uncompact
+    from .sources.datagen import SF_EXTERIOR
+
+    cells = polyfill(SF_EXTERIOR, [], 9)
+    comp = compact(cells)
+    back = uncompact(comp, 9)
+    ok = int(len(set(back.tolist()) ^ set(cells.tolist())) == 0)
+    return spark.createDataFrame(
+        [(len(cells), len(comp), len(back), ok)],
+        "n_cells long, n_compact long, n_uncompact long, roundtrip_ok long",
+    )
+
+
+Q32_SQL = """
+SELECT 1253 AS n_cells, 209 AS n_compact, 1253 AS n_uncompact,
+       1 AS roundtrip_ok
+"""
+
+
+def q33_ring_size_invariants(spark, sf_dir):
+    """Hollow-ring sizes around a hexagon are exactly 6k (reference
+    traversal goldens, src/traversal.rs:292-328)."""
+    from .h3core import hex_ring
+
+    origin = np.array([0x8928308280FFFFF], dtype=np.int64)
+    sizes = [int(hex_ring(origin, k)[1].shape[0]) for k in (1, 2, 3)]
+    return spark.createDataFrame(
+        [tuple(sizes)], "n_k1 long, n_k2 long, n_k3 long"
+    )
+
+
+Q33_SQL = "SELECT 6 AS n_k1, 12 AS n_k2, 18 AS n_k3"
+
+
+def q34_stream_batch_equivalence(spark, sf_dir):
+    """The streaming windowed-cell aggregation, run on the same events
+    batch, must account for every event (completeness invariant with a
+    real SQL oracle)."""
+    from .streaming.cells import windowed_cell_counts
+
+    ev = _t(spark, sf_dir, "events")
+    agg = windowed_cell_counts(ev, res=4)
+    return agg.agg(
+        F.sum("n").cast("long").alias("total_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+Q34_SQL = """
+SELECT COUNT(*) AS total_events, COUNT(DISTINCT event_type) AS n_types
+FROM events
+"""
+
+
+def q35_video_frame_sample(spark, sf_dir):
+    """Video frame sampling over synthesized rawvideo-rgb24 clips."""
+    import pandas as pd
+
+    from .operators import multimodal as mm
+    from .sources.datagen import _splitmix64
+
+    rows = []
+    for vid in range(20):
+        words = _splitmix64(
+            np.arange(vid * 100, vid * 100 + 9 * 4 * 4 * 3 // 8 + 1).astype(
+                np.uint64
+            )
+        )
+        payload = words.view(np.uint8)[: 9 * 4 * 4 * 3].tobytes()
+        rows.append((f"v{vid:03d}", payload, 4, 4, "rawvideo-rgb24"))
+    videos = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes", "w", "h", "fmt"])
+    )
+    out = mm.sample_frames(videos, every_n=4)
+    return out.select(
+        "video_id", "frame_idx", F.round("mean_lum", 6).alias("mean_lum")
+    )
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -657,7 +776,7 @@ def catalog():
         "q13_fingerprints": (q13_fingerprints, None),
         "q14_minhash_pairs": (q14_minhash_pairs, None),
         "q15_simhash_pairs": (q15_simhash_pairs, None),
-        "q16_ngram_jaccard": (q16_ngram_jaccard, None),
+        "q16_ngram_jaccard": (q16_ngram_jaccard, Q16_SQL),
         "q17_embedding_near_dup": (q17_embedding_near_dup, None),
         "q18_cosine_topk": (q18_cosine_topk, Q18_SQL),
         "q19_embedding_stats": (q19_embedding_stats, Q19_SQL),
@@ -672,4 +791,12 @@ def catalog():
         "q28_boundary_verts": (q28_boundary_verts, None),
         "q29_knn": (q29_knn, _q29_sql()),
         "q30_events_sessions": (q30_events_sessions, Q30_SQL),
+        "q31_image_features": (q31_image_features, None),
+        "q32_compact_roundtrip": (q32_compact_roundtrip, Q32_SQL),
+        "q33_ring_size_invariants": (q33_ring_size_invariants, Q33_SQL),
+        "q34_stream_batch_equivalence": (
+            q34_stream_batch_equivalence,
+            Q34_SQL,
+        ),
+        "q35_video_frame_sample": (q35_video_frame_sample, None),
     }
