@@ -58,15 +58,16 @@ def ijk_to_digit(ijk: np.ndarray) -> np.ndarray:
 
 
 def _lin(ijk: np.ndarray, ivec, jvec, kvec) -> np.ndarray:
-    i = ijk[..., 0:1]
-    j = ijk[..., 1:2]
-    k = ijk[..., 2:3]
-    v = (
-        i * np.asarray(ivec, dtype=np.int64)
-        + j * np.asarray(jvec, dtype=np.int64)
-        + k * np.asarray(kvec, dtype=np.int64)
-    )
-    return ijk_normalize(v)
+    # column-wise integer combination with inline normalize (hot path of
+    # decode/traversal; avoids broadcast temporaries and axis reduces)
+    i = ijk[..., 0]
+    j = ijk[..., 1]
+    k = ijk[..., 2]
+    c0 = i * ivec[0] + j * jvec[0] + k * kvec[0]
+    c1 = i * ivec[1] + j * jvec[1] + k * kvec[1]
+    c2 = i * ivec[2] + j * jvec[2] + k * kvec[2]
+    m = np.minimum(np.minimum(c0, c1), c2)
+    return np.stack([c0 - m, c1 - m, c2 - m], axis=-1)
 
 
 def down_ap7(ijk):  # res -> res+1, Class III (counter-clockwise)

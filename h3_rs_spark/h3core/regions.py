@@ -163,6 +163,69 @@ def polygon_cover(exterior, holes, res: int):
     return interior, boundary
 
 
+def cells_to_multipolygon(cells: np.ndarray):
+    """Dissolve a cell set into polygons (h3SetToLinkedGeo / G4 — which
+    the reference never implemented: its wrapper returns an empty
+    MultiPolygon, src/region.rs:69-73 with tests commented out).
+
+    Method: every interior edge appears in exactly two cells' boundaries
+    (opposite directions); keep single-occurrence directed edges and
+    stitch them into closed rings. Returns a list of rings, each a list
+    of (lng, lat) tuples in traversal order; outer rings and holes are
+    both present (holes wind opposite). Vertices are matched at 1e-9.
+    """
+    cells = np.unique(np.atleast_1d(np.asarray(cells, dtype=np.int64)))
+    if cells.size == 0:
+        return []
+    blat, blng = fk.h3_to_geo_boundary(cells)
+
+    def key(lat, lng):
+        return (round(float(lat), 9), round(float(lng), 9))
+
+    edge_count: dict[tuple, int] = {}
+    edges = []
+    for i in range(cells.shape[0]):
+        verts = [
+            (blat[i, v], blng[i, v])
+            for v in range(6)
+            if not np.isnan(blat[i, v])
+        ]
+        for v in range(len(verts)):
+            a = key(*verts[v])
+            b = key(*verts[(v + 1) % len(verts)])
+            edges.append((a, b))
+            und = (a, b) if a <= b else (b, a)
+            edge_count[und] = edge_count.get(und, 0) + 1
+
+    boundary = {}
+    for a, b in edges:
+        und = (a, b) if a <= b else (b, a)
+        if edge_count[und] == 1:
+            boundary[a] = b  # each boundary vertex has exactly one successor
+
+    rings = []
+    visited = set()
+    for start in list(boundary):
+        if start in visited:
+            continue
+        ring = [start]
+        visited.add(start)
+        cur = boundary[start]
+        guard = len(boundary) + 1
+        while cur != start and guard > 0:
+            ring.append(cur)
+            visited.add(cur)
+            cur = boundary[cur]
+            guard -= 1
+        if guard <= 0:
+            raise RuntimeError(
+                "cells_to_multipolygon: unclosed ring (pinched cell set "
+                "or vertex-rounding split)"
+            )
+        rings.append([(lng, lat) for lat, lng in ring])
+    return rings
+
+
 def cells_to_boundary_split(cells: np.ndarray, exterior, holes=None):
     """Split a polyfill cell set into (interior, boundary) by whether the
     cell's boundary polygon crosses the polygon outline — boundary cells

@@ -121,6 +121,37 @@ def hex_ring(h: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return o[m], c[m]
 
 
+def hex_range(h: np.ndarray, k: int):
+    """Disk like k_ring but flags pentagon distortion (H3 hexRange
+    semantics: the C call *fails* when a pentagon is inside the disk —
+    reference wrapper at src/traversal.rs:142-155). Returns
+    (owner, cell, ok_mask_per_owner); callers treat ok=False owners as
+    the reference's error case. Cell sets are exact (no zero padding)."""
+    o, c, _d = k_ring_distances(h, k)
+    from .indexing import is_pentagon
+
+    pent = is_pentagon(c)
+    n = np.atleast_1d(h).shape[0]
+    ok = np.ones(n, dtype=bool)
+    if pent.any():
+        bad_owners = np.unique(o[pent])
+        ok[bad_owners] = False
+    return o, c, ok
+
+
+def hex_range_distances(h: np.ndarray, k: int):
+    """Disk grouped by distance + pentagon-distortion flag (T7)."""
+    o, c, d = k_ring_distances(h, k)
+    from .indexing import is_pentagon
+
+    pent = is_pentagon(c)
+    n = np.atleast_1d(h).shape[0]
+    ok = np.ones(n, dtype=bool)
+    if pent.any():
+        ok[np.unique(o[pent])] = False
+    return o, c, d, ok
+
+
 def h3_distance(a: int, b: int, max_k: int = 64) -> int:
     """Grid distance between two cells (BFS; -1 if not reachable within
     max_k or resolutions differ). Adequate for query-local distances; the

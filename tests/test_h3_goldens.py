@@ -370,3 +370,41 @@ class TestKernelProperties:
                 np.array([clng[i]]), np.array([clat[i]]), np.array(ring)
             )
             assert inside[0], (i, hex(int(h[i])))
+
+
+class TestExtendedParity:
+    def test_hex_range_pentagon_flag(self):
+        # T6 semantics: hexagons near a pentagon -> error flag set
+        from h3_rs_spark.h3core.traversal import hex_range
+
+        _, _, ok = hex_range(np.array([0x8928308280FFFFF]), 2)
+        assert ok[0]  # far from any pentagon
+        _, _, ok = hex_range(np.array([0x821C07FFFFFFFFF]), 1)
+        assert not ok[0]  # pentagon origin
+
+    def test_icosahedron_faces(self):
+        from h3_rs_spark.h3core.faceijk import icosahedron_faces, max_face_count
+
+        faces = icosahedron_faces(np.array([0x85283473FFFFFFF]))[0]
+        assert faces == [7]  # mid-face cell touches one face
+        pent_faces = icosahedron_faces(np.array([0x821C07FFFFFFFFF]))[0]
+        assert len(pent_faces) == 5  # pentagons sit on icosa vertices
+        assert int(max_face_count(np.array([0x821C07FFFFFFFFF]))[0]) == 5
+
+    def test_cells_to_multipolygon_dissolve(self):
+        from h3_rs_spark.h3core.regions import cells_to_multipolygon
+
+        cells = h3.polyfill(SF_POLYGON, [], 8)
+        rings = cells_to_multipolygon(cells)
+        assert len(rings) >= 1
+        outer = max(rings, key=len)
+        # every cell centroid must be inside the dissolved outer ring
+        lat, lng = h3.h3_to_geo(cells)
+        inside = h3.points_in_polygon(lng, lat, np.array(outer))
+        assert inside.all()
+        # single compact blob -> hexagon-boundary vertex count matches
+        # the single-occurrence edge count
+        k = 1
+        _, one_cell = h3.k_ring(np.array([0x85283473FFFFFFF]), 0)
+        r1 = cells_to_multipolygon(one_cell)
+        assert len(r1) == 1 and len(r1[0]) == 6
