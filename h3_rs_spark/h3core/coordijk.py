@@ -49,12 +49,20 @@ def ijk_normalize(ijk: np.ndarray) -> np.ndarray:
     return ijk - m[..., None]
 
 
+_AXIAL_TO_DIGIT_FLAT = _AXIAL_TO_DIGIT.ravel().copy()
+
+
 def ijk_to_digit(ijk: np.ndarray) -> np.ndarray:
     """Unit-vector ijk (normalized) -> digit 0..6, else 7."""
     a = ijk[..., 0] - ijk[..., 2]
     b = ijk[..., 1] - ijk[..., 2]
-    ok = (np.abs(a) <= 1) & (np.abs(b) <= 1)
-    return np.where(ok, _AXIAL_TO_DIGIT[np.clip(a + 1, 0, 2), np.clip(b + 1, 0, 2)], 7)
+    idx = a * 3 + b + 4
+    # non-unit vectors land outside [0, 8]; map them to the invalid slot
+    bad = (idx < 0) | (idx > 8)
+    if bad.any():
+        out = np.where(bad, 7, _AXIAL_TO_DIGIT_FLAT[np.where(bad, 0, idx)])
+        return out
+    return _AXIAL_TO_DIGIT_FLAT[idx]
 
 
 def _lin(ijk: np.ndarray, ivec, jvec, kvec) -> np.ndarray:
@@ -95,11 +103,9 @@ def rotate60_cw(ijk):
 
 
 def _round_half_even_div7(x: np.ndarray) -> np.ndarray:
-    # lround semantics (round half away from zero) on x/7 with integer input
-    q = np.floor_divide(x, 7)
-    r = x - 7 * q
-    # r in [0,6]; x/7 rounds to q when r <= 3 (r==3.5 impossible), q+1 when r >= 4
-    return q + (r >= 4)
+    # round(x/7) for integer x: x/7 never lands exactly on .5 (denominator
+    # 7), so round-to-nearest == floor((2x+7)/14) — one fused floordiv
+    return (2 * x + 7) // 14
 
 
 def up_ap7(ijk: np.ndarray) -> np.ndarray:
