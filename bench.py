@@ -74,6 +74,9 @@ def run_headline(spark, sf: float) -> dict:
 
     polys9 = {k: v for k, v in datagen.POLYGONS.items() if v[2] == 9}
 
+    # warm-up: python workers, codegen, parquet footer cache (not timed)
+    pip_count(spark, images.limit(2000), polys9).collect()
+
     timed(
         "pip_images",
         lambda: pip_count(spark, images, polys9).collect(),

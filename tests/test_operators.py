@@ -303,3 +303,20 @@ class TestDistributedHierarchy:
         df = spark.createDataFrame(pd.DataFrame({"cell": ch}))
         out = [r[0] for r in compact_cells_df(df).collect()]
         assert out == [parent]
+
+
+def test_split_refine_equals_inline(spark, images):
+    from h3_rs_spark.sources import datagen
+
+    polys = {"sf_hexagon": datagen.POLYGONS["sf_hexagon"]}
+    a = sorted(
+        r[0]
+        for r in pip_join(spark, images, polys, split_refine=False)
+        .select("image_id").collect()
+    )
+    b = sorted(
+        r[0]
+        for r in pip_join(spark, images, polys, split_refine=True)
+        .select("image_id").collect()
+    )
+    assert a == b
