@@ -66,26 +66,54 @@ def points_in_polygon(
     return inside
 
 
-def polyfill(exterior, holes, res: int) -> np.ndarray:
-    """All cells at `res` whose centroid is inside the polygon."""
-    ext = _close_ring(np.asarray(exterior, dtype=np.float64))
+MAX_POLYFILL_CELLS = 5_000_000
+
+
+def _bbox_scan_cells(ext: np.ndarray, res: int) -> np.ndarray:
+    """All cells whose centroid can lie in the (padded) bbox: lat/lng
+    lattice scan at sub-inradius spacing, encoded and deduped. Raises
+    when the scan would exceed MAX_POLYFILL_CELLS candidates."""
     lng_min, lat_min = ext.min(axis=0)
     lng_max, lat_max = ext.max(axis=0)
 
-    # sample spacing: below the cell inradius so no centroid is missed
     edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
+    est = (
+        (lat_max - lat_min + 5 * edge_deg)
+        * (lng_max - lng_min + 5 * edge_deg)
+        / (0.7 * edge_deg) ** 2
+    )
+    if est > MAX_POLYFILL_CELLS * 4:
+        raise ValueError(
+            f"polyfill: bbox at res {res} implies ~{est:.2e} candidate "
+            f"cells (> {MAX_POLYFILL_CELLS}); fill at a coarser res and "
+            "uncompact distributively (operators.hierarchy_ops)"
+        )
+
     pad = 2.5 * edge_deg
     step_lat = 0.7 * edge_deg
     cos_lat = max(
         0.05, np.cos(np.radians(max(abs(lat_min - pad), abs(lat_max + pad))))
     )
     step_lng = step_lat / cos_lat
-
     lats = np.arange(lat_min - pad, lat_max + pad, step_lat)
     lngs = np.arange(lng_min - pad, lng_max + pad, step_lng)
     glng, glat = np.meshgrid(lngs, lats)
     cells = np.unique(fk.geo_to_h3(glat.ravel(), glng.ravel(), res))
-    cells = cells[cells != 0]
+    return cells[cells != 0]
+
+
+def polyfill(exterior, holes, res: int) -> np.ndarray:
+    """All cells at `res` whose centroid is inside the polygon.
+
+    Driver-side kernel for dimension-table polygons (SURVEY.md §2.6). A
+    bbox whose estimated cell count exceeds MAX_POLYFILL_CELLS raises —
+    at that scale fill coarse then `uncompact`/distribute via
+    operators.hierarchy_ops instead of materializing on the driver."""
+    ext = _close_ring(np.asarray(exterior, dtype=np.float64))
+    lng_min, lat_min = ext.min(axis=0)
+    lng_max, lat_max = ext.max(axis=0)
+
+    cells = _bbox_scan_cells(ext, res)
 
     clat, clng = fk.h3_to_geo(cells)
     inside = points_in_polygon(clng, clat, exterior, holes)
@@ -116,20 +144,7 @@ def polygon_cover(exterior, holes, res: int):
     from .traversal import neighbors as _neighbors
 
     ext = _close_ring(np.asarray(exterior, dtype=np.float64))
-    lng_min, lat_min = ext.min(axis=0)
-    lng_max, lat_max = ext.max(axis=0)
-    edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
-    pad = 2.5 * edge_deg
-    step_lat = 0.7 * edge_deg
-    cos_lat = max(
-        0.05, np.cos(np.radians(max(abs(lat_min - pad), abs(lat_max + pad))))
-    )
-    step_lng = step_lat / cos_lat
-    lats = np.arange(lat_min - pad, lat_max + pad, step_lat)
-    lngs = np.arange(lng_min - pad, lng_max + pad, step_lng)
-    glng, glat = np.meshgrid(lngs, lats)
-    cells = np.unique(fk.geo_to_h3(glat.ravel(), glng.ravel(), res))
-    cells = cells[cells != 0]
+    cells = _bbox_scan_cells(ext, res)
 
     # classify by centroid + vertex containment
     clat, clng = fk.h3_to_geo(cells)
