@@ -27,12 +27,16 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     the package zip so pandas UDFs unpickle when the harness launches
     from any cwd."""
     zip_path = _REPO / "dist" / "h3_rs_spark.zip"
-    if not zip_path.exists():
+    sources = sorted((_REPO / "h3_rs_spark").rglob("*.py"))
+    stale = not zip_path.exists() or any(
+        py.stat().st_mtime > zip_path.stat().st_mtime for py in sources
+    )
+    if stale:
         import zipfile
 
         zip_path.parent.mkdir(exist_ok=True)
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for py in sorted((_REPO / "h3_rs_spark").rglob("*.py")):
+            for py in sources:
                 zf.write(py, py.relative_to(_REPO))
     marker = "_h3_rs_spark_pyfile_added"
     if not getattr(spark.sparkContext, marker, False):

@@ -114,3 +114,29 @@ class TestStreaming:
         g = out.sort_values(list(out.columns), ignore_index=True)
         x = exp.sort_values(list(exp.columns), ignore_index=True)
         pd.testing.assert_frame_equal(g, x, check_dtype=False)
+
+
+class TestBucketing:
+    def test_colocated_join_no_shuffle(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from h3_rs_spark.sources import bucketing, datagen, io
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            images = io.with_geo(
+                datagen.generate_images(spark, 2000, w=8, h=8), res=7
+            ).select("image_id", "cell")
+            stats = images.groupBy("cell").agg(F.count("*").alias("n"))
+            bucketing.write_bucketed(images, "bt_images", buckets=8)
+            bucketing.write_bucketed(stats, "bt_stats", buckets=8)
+            j = bucketing.colocated_join(spark, "bt_images", "bt_stats")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == 2000
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_images")
+            spark.sql("DROP TABLE IF EXISTS bt_stats")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -61,7 +61,12 @@ def _boundary_feature(idx: int) -> dict:
 def _parse_indexes(strs):
     out = []
     for s in strs:
-        v = int(s, 16) if set(s.lower()) & set("abcdef") else int(s)
+        try:
+            v = int(s, 16) if set(s.lower()) & set("abcdef") else int(s)
+        except ValueError:
+            raise SystemExit(
+                f"error: not a decimal or hex H3 index: {s!r}"
+            ) from None
         if not bool(ix.is_valid(np.array([v]))[0]):
             raise SystemExit(f"error: invalid H3 index: {s}")
         out.append(v)
