@@ -74,14 +74,24 @@ def minhash_signature_udf(num_hashes: int = 64, shingle: int = 5):
     @F.pandas_udf(ArrayType(LongType()))
     def _f(text: pd.Series) -> pd.Series:
         a, b = _minhash_params(num_hashes)
-        out = []
         mod = np.uint64((1 << 61) - 1)
+        out = []
         with np.errstate(over="ignore"):
-            for t in text:
-                sh = _shingle_hashes(t or "", shingle)
-                # (a * x + b) mod p, min over shingles, per hash function
-                vals = (sh[None, :] * a[:, None] + b[:, None]) % mod
-                out.append(vals.min(axis=1).astype(np.int64).tolist())
+            # batch docs: one (num_hashes x total_shingles) pass with a
+            # per-doc segmented min (reduceat) instead of per-doc matmuls
+            chunk = 512
+            for s in range(0, len(text), chunk):
+                docs = [
+                    _shingle_hashes(t or "", shingle)
+                    for t in text.iloc[s:s + chunk]
+                ]
+                lens = np.array([len(d) for d in docs])
+                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                all_sh = np.concatenate(docs)
+                vals = (all_sh[None, :] * a[:, None] + b[:, None]) % mod
+                mins = np.minimum.reduceat(vals, offsets, axis=1)
+                mins = mins.astype(np.int64)
+                out.extend(mins[:, i].tolist() for i in range(len(docs)))
         return pd.Series(out)
 
     return _f
@@ -98,10 +108,12 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold)."""
     rows_per_band = num_hashes // bands
+    # persist signatures: they feed both self-join branches and the
+    # verification re-attach — without this the Arrow UDF runs 3x
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_udf(num_hashes, shingle)(F.col(text_col)).alias("sig"),
-    )
+    ).persist()
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -109,9 +121,11 @@ def minhash_lsh_dedup(
         )
         for i in range(bands)
     ]
+    # narrow (id, band, bucket) rows through the self-join + dedup; the
+    # wide signature arrays re-attach afterwards via broadcast
     banded = sig.select(
-        "id", "sig", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -122,14 +136,12 @@ def minhash_lsh_dedup(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = F.broadcast(sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}))
+    sig_b = F.broadcast(sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}))
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -171,7 +183,7 @@ def simhash_dedup(
     verified exactly afterwards)."""
     sim = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
-    )
+    ).persist()
     chunks = [
         F.struct(
             F.lit(i).alias("band"),
@@ -179,8 +191,8 @@ def simhash_dedup(
         )
         for i in range(4)
     ]
-    banded = sim.select("id", "sh", F.explode(F.array(*chunks)).alias("bb")).select(
-        "id", "sh", "bb.band", "bb.bucket"
+    banded = sim.select("id", F.explode(F.array(*chunks)).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -190,13 +202,10 @@ def simhash_dedup(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(F.broadcast(sim.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})), "id_a")
+        .join(F.broadcast(sim.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})), "id_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
@@ -273,12 +282,13 @@ def embedding_near_dup(
         vals = vals + (np.arange(bands) << planes_per_band)
         return pd.Series([row.astype(np.int64).tolist() for row in vals])
 
-    withb = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(_buckets(vec_col)).alias("bucket"),
-    )
-    a, b = withb.alias("a"), withb.alias("b")
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _buckets(vec_col).alias("buckets"),
+    ).persist()
+    banded = base.select("id", F.explode("buckets").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
@@ -289,18 +299,16 @@ def embedding_near_dup(
             F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
+    vecs = base.select("id", "v")
     pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").cast("array<double>").alias("va"),
-            F.col("b.v").cast("array<double>").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(F.broadcast(vecs.withColumnsRenamed({"id": "id_a", "v": "va"})), "id_a")
+        .join(F.broadcast(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"})), "id_b")
         .withColumn(
             "cos_sim",
             F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6),
