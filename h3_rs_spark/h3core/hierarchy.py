@@ -64,7 +64,6 @@ def compact(cells: np.ndarray) -> np.ndarray:
         )
         full = counts == np.where(pent, 6, 7)
         promoted = uniq[full]
-        keep_parents = uniq[~full]
         # cells whose parent was not promoted stay in the result
         promoted_set = np.isin(parents, promoted, assume_unique=False)
         result.append(cur[~promoted_set])
