@@ -26,22 +26,9 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     """Executor python workers don't inherit the driver's sys.path; ship
     the package zip so pandas UDFs unpickle when the harness launches
     from any cwd."""
-    zip_path = _REPO / "dist" / "h3_rs_spark.zip"
-    sources = sorted((_REPO / "h3_rs_spark").rglob("*.py"))
-    stale = not zip_path.exists() or any(
-        py.stat().st_mtime > zip_path.stat().st_mtime for py in sources
-    )
-    if stale:
-        import zipfile
+    from h3_rs_spark.session import ship_package
 
-        zip_path.parent.mkdir(exist_ok=True)
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for py in sources:
-                zf.write(py, py.relative_to(_REPO))
-    marker = "_h3_rs_spark_pyfile_added"
-    if not getattr(spark.sparkContext, marker, False):
-        spark.sparkContext.addPyFile(str(zip_path))
-        setattr(spark.sparkContext, marker, True)
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -11,8 +11,33 @@ the table layout (partition spec, schema) is identical.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_REPO = Path(__file__).resolve().parents[1]
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the package zip to executor python workers (their sys.path
+    does not include the driver's repo checkout when launched from
+    another cwd). Rebuilds the zip when any source file is newer."""
+    zip_path = _REPO / "dist" / "h3_rs_spark.zip"
+    sources = sorted((_REPO / "h3_rs_spark").rglob("*.py"))
+    stale = not zip_path.exists() or any(
+        py.stat().st_mtime > zip_path.stat().st_mtime for py in sources
+    )
+    if stale:
+        import zipfile
+
+        zip_path.parent.mkdir(exist_ok=True)
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for py in sources:
+                zf.write(py, py.relative_to(_REPO))
+    marker = "_h3_rs_spark_pyfile_added"
+    if not getattr(spark.sparkContext, marker, False):
+        spark.sparkContext.addPyFile(str(zip_path))
+        setattr(spark.sparkContext, marker, True)
 
 
 def get_spark(
@@ -40,4 +65,6 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
