@@ -121,21 +121,44 @@ def _geo_to_face_ijk(lat, lng, res: int):
 
 def _extract_digits(ijk: np.ndarray, res: int):
     """Aggregate a res-`res` face coordinate up to res 0, recording the
-    per-resolution digits. Returns (digits (N,15) uint8, res0_ijk (N,3))."""
+    per-resolution digits. Returns (digits (N,15) uint8, res0_ijk (N,3)).
+
+    Runs entirely in axial (i-k, j-k) integer coordinates — the up/down
+    aperture-7 maps and digit extraction are exact 2x2 integer linear
+    algebra there, halving the per-resolution array work vs (N,3) cube
+    coordinates."""
+    from .coordijk import _AXIAL_TO_DIGIT_FLAT
+
     n = ijk.shape[0]
     digits = np.zeros((n, MAX_RES), dtype=np.uint8)
-    cur = ijk.astype(np.int64)
+    a = ijk[:, 0] - ijk[:, 2]
+    b = ijk[:, 1] - ijk[:, 2]
     for r in range(res, 0, -1):
-        last = cur
-        if r % 2 == 1:  # Class III
-            cur = up_ap7(cur)
-            center = down_ap7(cur)
+        if r % 2 == 1:  # Class III: up_ap7, down = [[2,1],[-1,3]]
+            pa = (2 * (3 * a - b) + 7) // 14
+            pb = (2 * (a + 2 * b) + 7) // 14
+            da = a - (2 * pa + pb)
+            db = b - (-pa + 3 * pb)
+        else:  # Class II: up_ap7r, down = [[3,-1],[1,2]]
+            pa = (2 * (2 * a + b) + 7) // 14
+            pb = (2 * (3 * b - a) + 7) // 14
+            da = a - (3 * pa - pb)
+            db = b - (pa + 2 * pb)
+        # diffs are unit vectors by aperture-7 construction; clip guards
+        # garbage inputs from wrapping the gather (7 = invalid digit)
+        idx = da * 3 + db + 4
+        bad = (idx < 0) | (idx > 8)
+        if bad.any():
+            digits[:, r - 1] = np.where(
+                bad, 7, _AXIAL_TO_DIGIT_FLAT[np.where(bad, 0, idx)]
+            )
         else:
-            cur = up_ap7r(cur)
-            center = down_ap7r(cur)
-        diff = ijk_normalize(last - center)
-        digits[:, r - 1] = ijk_to_digit(diff)
-    return digits, cur
+            digits[:, r - 1] = _AXIAL_TO_DIGIT_FLAT[idx]
+        a, b = pa, pb
+    # back to normalized cube coords
+    z = np.zeros_like(a)
+    m = np.minimum(np.minimum(a, b), z)
+    return digits, np.stack([a - m, b - m, z - m], axis=-1)
 
 
 def _face_ijk_to_h3(face: np.ndarray, ijk: np.ndarray, res: int) -> np.ndarray:
