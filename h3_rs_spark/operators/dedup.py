@@ -42,11 +42,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    if not text or len(text) < n:
-        return np.array([hash(text) & 0x7FFFFFFF], dtype=np.uint64)
+    """Shingle hash set. Deterministic across processes: the short-text
+    fallback uses the same polynomial byte hash as full shingles (NEVER
+    Python's hash(), which is salted per-process — on a multi-node
+    cluster identical short docs would get different signatures on
+    different executors and silently fail to collide in LSH)."""
+    if not text:
+        return np.array([0], dtype=np.uint64)
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < n:
-        return np.array([int(b.sum())], dtype=np.uint64)
+        h = np.uint64(0)
+        base = np.uint64(1_000_003)
+        with np.errstate(over="ignore"):
+            for byte in b.tolist():
+                h = h * base + np.uint64(byte)
+        return np.array([h], dtype=np.uint64)
     # rolling window view -> polynomial hash, fully vectorized
     win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
     with np.errstate(over="ignore"):
@@ -55,6 +65,19 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
         for c in range(n):
             h = h * base + win[:, c]
     return np.unique(h)
+
+
+def _cap_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Drop LSH buckets with more than `cap` members before the
+    self-join. One hot bucket (boilerplate docs, an all-zeros vector)
+    generates O(cap²) pairs inside a single task — unbounded, that is
+    the quadratic blow-up that kills banded LSH at scale. Bucket counts
+    are a partial-agg'd groupBy on the narrow key columns; members of a
+    dropped bucket still pair through their other bands."""
+    if not cap:
+        return banded
+    counts = banded.groupBy(*keys).agg(F.count("*").alias("_bc"))
+    return banded.join(counts.where(F.col("_bc") <= cap), keys).drop("_bc")
 
 
 _MINHASH_A = None
@@ -105,6 +128,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle: int = 5,
     jaccard_threshold: float = 0.7,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold)."""
     rows_per_band = num_hashes // bands
@@ -122,10 +146,11 @@ def minhash_lsh_dedup(
         for i in range(bands)
     ]
     # narrow (id, band, bucket) rows through the self-join + dedup; the
-    # wide signature arrays re-attach afterwards via broadcast
+    # wide signature arrays re-attach afterwards via shuffle join on id
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -139,8 +164,12 @@ def minhash_lsh_dedup(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sig_a = F.broadcast(sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}))
-    sig_b = F.broadcast(sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}))
+    # re-attach the wide signature arrays with plain shuffle joins on id:
+    # never F.broadcast(sig) — the signature relation is proportional to
+    # the FULL corpus and a forced broadcast OOMs at scale. AQE still
+    # broadcasts at runtime when the relation is genuinely small.
+    sig_a = sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    sig_b = sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
     pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = F.size(
         F.filter(
@@ -175,7 +204,11 @@ def simhash_udf(shingle: int = 3):
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, banded on 4x16-bit
     chunks (a pair within hamming<=3 shares at least one exact chunk;
@@ -194,6 +227,7 @@ def simhash_dedup(
     banded = sim.select("id", F.explode(F.array(*chunks)).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
     )
+    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -204,8 +238,10 @@ def simhash_dedup(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .join(F.broadcast(sim.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})), "id_a")
-        .join(F.broadcast(sim.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})), "id_b")
+        # shuffle-join re-attach (see minhash_lsh_dedup): no forced
+        # broadcast of the corpus-sized simhash relation
+        .join(sim.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sim.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
@@ -264,6 +300,7 @@ def embedding_near_dup(
     bands: int = 16,
     planes_per_band: int = 4,
     cos_threshold: float = 0.25,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Cosine near-dup pairs via *banded* random-hyperplane LSH + exact
     verify: a pair is a candidate if any band's sign pattern matches
@@ -288,6 +325,7 @@ def embedding_near_dup(
         _buckets(vec_col).alias("buckets"),
     ).persist()
     banded = base.select("id", F.explode("buckets").alias("bucket"))
+    banded = _cap_buckets(banded, ["bucket"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
@@ -307,8 +345,10 @@ def embedding_near_dup(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .join(F.broadcast(vecs.withColumnsRenamed({"id": "id_a", "v": "va"})), "id_a")
-        .join(F.broadcast(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"})), "id_b")
+        # shuffle-join re-attach (see minhash_lsh_dedup): no forced
+        # broadcast of the corpus-sized vector relation
+        .join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
         .withColumn(
             "cos_sim",
             F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6),

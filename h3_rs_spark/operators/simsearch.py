@@ -48,14 +48,20 @@ def cosine_topk(
     joined = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).crossJoin(q.withColumn("qv", F.col(q_vec_col).cast("array<double>")))
+    # rank by the UNROUNDED score (ties broken by id); report the score at
+    # 4 dp. Two float formulations of cosine (fold-dot here, a library
+    # kernel in an oracle engine) agree to well past 4 dp but can differ
+    # in the last ulp — ranking on a rounded value would make that ulp
+    # decide the top-k cut.
     scored = joined.withColumn(
-        "cos_sim",
-        F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6),
+        "_cos_raw",
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("_cos_raw"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("_cos_raw", 4))
         .select(q_id_col, F.col(id_col).alias("neighbor_id"), "cos_sim", "rank")
     )
 

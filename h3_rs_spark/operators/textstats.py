@@ -88,18 +88,57 @@ _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1_000_003
 
 
+def _fp_batch(texts) -> np.ndarray:
+    """Vectorized polynomial rolling hash (mod 2^61-1) over codepoints.
+
+    Folds ALL docs in the batch simultaneously, one numpy step per char
+    position, instead of a per-row per-character Python loop (O(total
+    chars) interpreter work). The mulmod h*B mod M is exact in uint64 via
+    the Mersenne-prime split: h = hi*2^32 + lo; hi*B reduced, then
+    x*2^32 mod (2^61-1) = (x mod 2^29)<<32 + (x>>29); every intermediate
+    stays < 2^63. Bit-identical to the scalar fingerprint_oracle."""
+    n = len(texts)
+    cps = [
+        np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+        for t in texts
+    ]
+    lens = np.fromiter((len(c) for c in cps), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0 or lens.max(initial=0) == 0:
+        return out
+    M = np.uint64(_FP_MOD)
+    B = np.uint64(_FP_BASE)
+    u32 = np.uint64(32)
+    u29 = np.uint64(29)
+    lo_mask = np.uint64(0xFFFFFFFF)
+    m29 = np.uint64((1 << 29) - 1)
+    chunk = 2048
+    for s in range(0, n, chunk):
+        cl = lens[s : s + chunk]
+        maxlen = int(cl.max())
+        if maxlen == 0:
+            continue
+        mat = np.zeros((len(cl), maxlen), dtype=np.uint64)
+        for i, c in enumerate(cps[s : s + chunk]):
+            mat[i, : len(c)] = c
+        h = np.zeros(len(cl), dtype=np.uint64)
+        for pos in range(maxlen):
+            hi = h >> u32
+            lo = h & lo_mask
+            t = (hi * B) % M
+            t = ((t & m29) << u32) + (t >> u29)  # t*2^32 mod-ish, < 2^62
+            h2 = (t + lo * B + mat[:, pos]) % M
+            h = np.where(pos < cl, h2, h)
+        out[s : s + chunk] = h.astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
 def fingerprint_udf():
     """Polynomial rolling hash over codepoints -> int64 fingerprint."""
 
     @F.pandas_udf(LongType())
     def _f(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            h = 0
-            for ch in (t or ""):
-                h = (h * _FP_BASE + ord(ch)) % _FP_MOD
-            out[i] = h & 0x7FFFFFFFFFFFFFFF
-        return pd.Series(out)
+        return pd.Series(_fp_batch(text.tolist()))
 
     return _f
 

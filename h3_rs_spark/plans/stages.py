@@ -51,7 +51,12 @@ class StageRunner:
         if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 manifest = json.load(fh)
-            if manifest.get("fingerprint") == fingerprint:
+            # resume needs BOTH a matching fingerprint and an intact
+            # materialization — a surviving manifest over a deleted or
+            # truncated output dir must re-run, not read partial data
+            if manifest.get("fingerprint") == fingerprint and os.path.exists(
+                os.path.join(out_path, "_SUCCESS")
+            ):
                 self._ran.append((name, "resumed"))
                 return self.spark.read.parquet(out_path)
 

@@ -414,7 +414,7 @@ def q18_cosine_topk(spark, sf_dir):
 Q18_SQL = """
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-         ROUND(list_cosine_similarity(v.embedding, q.embedding), 6) AS cos_sim,
+         ROUND(list_cosine_similarity(v.embedding, q.embedding), 4) AS cos_sim,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
            ORDER BY list_cosine_similarity(v.embedding, q.embedding) DESC,
@@ -629,9 +629,16 @@ def q30_events_sessions(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    # integer-exact microsecond gap (NOT unix_timestamp, which truncates
+    # to whole seconds): events carry microseconds, and a gap straddling
+    # the 1800 s threshold classifies differently under truncation — the
+    # oracle's DuckDB epoch(ts) keeps fractions. timestamp_diff works on
+    # TIMESTAMP_NTZ with no session-timezone involvement.
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+    )
     sess = F.sum(
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
         ev.withColumn("session_id", sess)

@@ -21,17 +21,31 @@ _REPO = Path(__file__).resolve().parents[1]
 def ship_package(spark: SparkSession) -> None:
     """Ship the package zip to executor python workers (their sys.path
     does not include the driver's repo checkout when launched from
-    another cwd). Rebuilds the zip when any source file is newer."""
+    another cwd). Rebuilds the zip when the source CONTENT hash differs
+    from the one stored in the zip comment — mtime comparison would
+    silently ship stale worker code after a fresh clone or cherry-pick
+    that preserves timestamps."""
+    import hashlib
+    import zipfile
+
     zip_path = _REPO / "dist" / "h3_rs_spark.zip"
     sources = sorted((_REPO / "h3_rs_spark").rglob("*.py"))
-    stale = not zip_path.exists() or any(
-        py.stat().st_mtime > zip_path.stat().st_mtime for py in sources
-    )
+    digest = hashlib.sha256()
+    for py in sources:
+        digest.update(str(py.relative_to(_REPO)).encode())
+        digest.update(py.read_bytes())
+    want = digest.hexdigest().encode()
+    stale = True
+    if zip_path.exists():
+        try:
+            with zipfile.ZipFile(zip_path) as zf:
+                stale = zf.comment != want
+        except Exception:
+            stale = True
     if stale:
-        import zipfile
-
         zip_path.parent.mkdir(exist_ok=True)
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.comment = want
             for py in sources:
                 zf.write(py, py.relative_to(_REPO))
     marker = "_h3_rs_spark_pyfile_added"

@@ -140,3 +140,23 @@ class TestBucketing:
             spark.sql("DROP TABLE IF EXISTS bt_stats")
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_resume_reruns_after_output_deleted(spark, tmp_path):
+    """A manifest that survives a deleted materialization must re-run the
+    stage, not read missing/partial parquet."""
+    import shutil
+
+    from h3_rs_spark.plans.stages import StageRunner
+
+    runner = StageRunner(spark, str(tmp_path), run_id="t3")
+    calls = []
+
+    def make():
+        calls.append(1)
+        return spark.range(50)
+
+    runner.stage("s", "fp", make)
+    shutil.rmtree(tmp_path / "s")
+    out = runner.stage("s", "fp", make)
+    assert out.count() == 50 and calls == [1, 1]

@@ -320,3 +320,86 @@ def test_split_refine_equals_inline(spark, images):
         .select("image_id").collect()
     )
     assert a == b
+
+
+class TestDedupScale:
+    """Scale-safety contracts: no forced broadcast of corpus-sized
+    relations, hot-bucket capping, deterministic short-text hashing."""
+
+    def _physical_plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_no_forced_broadcast_reattach(self, spark):
+        """The signature/vector re-attach joins must not carry an explicit
+        broadcast hint: with auto-broadcast disabled, the initial physical
+        plan contains no BroadcastExchange (a hint would force one
+        regardless of size — OOM at 100 TB)."""
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "doc_id": range(40),
+            "text": [f"some words repeated here {i % 7} tail" for i in range(40)],
+        })
+        rng = np.random.default_rng(3)
+        epdf = pd.DataFrame({
+            "vec_id": range(40),
+            "embedding": [rng.standard_normal(8).tolist() for _ in range(40)],
+        })
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            docs = spark.createDataFrame(pdf)
+            for df in (
+                dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.1),
+                dedup.simhash_dedup(docs),
+                dedup.embedding_near_dup(spark.createDataFrame(epdf), dim=8),
+            ):
+                plan = self._physical_plan(df)
+                assert "BroadcastExchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_bucket_cap_bounds_hot_bucket(self, spark):
+        """With a hot bucket (identical docs) above the cap, the capped
+        pipeline must not emit its quadratic pairs; distinct docs in
+        small buckets are unaffected."""
+        import pandas as pd
+
+        texts = ["the exact same boilerplate text again and again"] * 30 + [
+            "unique document alpha beta gamma delta",
+            "unique document alpha beta gamma epsilon",
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        capped = dedup.minhash_lsh_dedup(
+            docs, jaccard_threshold=0.3, bucket_cap=10
+        ).toPandas()
+        # the 30-copy hot bucket (435 pairs) is dropped everywhere...
+        assert not ((capped.id_a < 30) & (capped.id_b < 30)).any()
+        # ...but the small-bucket near-dup pair survives
+        got = {tuple(sorted((a, b))) for a, b in zip(capped.id_a, capped.id_b)}
+        assert (30, 31) in got
+
+    def test_short_text_hash_deterministic(self):
+        """Short-text shingle fallback must not use salted hash()."""
+        h1 = dedup._shingle_hashes("ab", 5)
+        h2 = dedup._shingle_hashes("ab", 5)
+        assert (h1 == h2).all()
+        # polynomial over the utf-8 bytes of "ab"
+        assert int(h1[0]) == (ord("a") * 1_000_003 + ord("b")) % (1 << 64)
+        assert int(dedup._shingle_hashes("", 5)[0]) == 0
+
+
+class TestFingerprintVectorized:
+    def test_matches_scalar_oracle(self):
+        from h3_rs_spark.operators.textstats import _fp_batch, fingerprint_oracle
+
+        rng = np.random.default_rng(11)
+        texts = ["", "a", "hello world", "ü¢😀 unicode ∆", "x" * 3000] + [
+            "".join(chr(int(c)) for c in rng.integers(32, 1200, size=int(n)))
+            for n in rng.integers(0, 500, size=100)
+        ]
+        got = _fp_batch(texts)
+        want = fingerprint_oracle(texts)
+        assert (got == want).all()
