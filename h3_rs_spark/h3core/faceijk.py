@@ -408,38 +408,74 @@ def max_face_count(h) -> np.ndarray:
     return np.where(ix.is_pentagon(h), 5, 2)
 
 
-def h3_to_geo_boundary(h) -> tuple[np.ndarray, np.ndarray]:
-    """Cell -> boundary vertices.
+MAX_BNDRY_VERTS = 10  # reference h3-sys/src/ffi.rs:3 MAX_CELL_BNDRY_VERTS
 
-    Returns (verts_lat_deg, verts_lng_deg) of shape (N, 6) in degrees,
-    ccw from the i-axis vertex; pentagon rows have NaN in the last slot.
+# adjacent-face direction table: _ADJ_DIR[f1, f2] = quadrant (Q_IJ/Q_KI/
+# Q_JK) of face f2 relative to f1, 0 when not adjacent (H3
+# adjacentFaceDir). Derived from the face-neighbor tables at first use.
+_ADJ_DIR = None
 
-    Note: unlike H3's C implementation we do not insert the extra
-    icosahedron-edge-crossing vertices for Class III cells (7..10 vertex
-    boundaries); each cell always yields its 6 (5 for pentagons) true
-    vertices, overage-projected onto the correct neighbor face.  The
-    reference's boundary golden (src/region.rs:85-102) is a mid-face cell
-    and is matched exactly at 1e-9.
+
+def _adj_dir():
+    global _ADJ_DIR
+    if _ADJ_DIR is None:
+        t = get_tables()
+        d = np.zeros((20, 20), dtype=np.int64)
+        for f in range(20):
+            for q in (Q_IJ, Q_KI, Q_JK):
+                d[f, t.FACE_NEIGHBORS_FACE[f, q]] = q
+        _ADJ_DIR = d
+    return _ADJ_DIR
+
+
+def h3_to_geo_boundary(h, distortion: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Cell -> boundary vertices (H3 h3ToGeoBoundary semantics).
+
+    Returns (verts_lat_deg, verts_lng_deg) of shape (N, 10) in degrees,
+    NaN-padded, ccw from the i-axis vertex. Class III cells whose edges
+    cross icosahedron face edges get an extra vertex per crossing at the
+    edge intersection (7-10 vertices — reference caps the buffer at
+    MAX_CELL_BNDRY_VERTS=10, h3-sys/src/ffi.rs:3, trimmed at
+    src/raw.rs:92-103); Class II cells and mid-face Class III cells
+    yield their 6 (5 for pentagons) true vertices. The reference's
+    boundary golden (src/region.rs:85-102) is a mid-face cell and is
+    matched exactly at 1e-9.
+
+    distortion=False returns only the 6 true vertices, shape (N, 6) —
+    used internally where per-cell edge identity matters (geometric
+    neighbor reflection, dissolve stitching).
     """
     h = np.atleast_1d(np.asarray(h, dtype=np.int64))
-    return _chunked(_h3_to_geo_boundary_impl, 2)((h,), ())
+
+    def impl(hh):
+        return _h3_to_geo_boundary_impl(hh, distortion)
+
+    return _chunked(impl, 2)((h,), ())
 
 
-def _h3_to_geo_boundary_impl(h) -> tuple[np.ndarray, np.ndarray]:
+def _h3_to_geo_boundary_impl(h, distortion: bool) -> tuple[np.ndarray, np.ndarray]:
     res = ix.get_resolution(h)
     pent = ix.is_pentagon(h)
 
-    out_lat = np.full((h.shape[0], 6), np.nan)
-    out_lng = np.full((h.shape[0], 6), np.nan)
+    width = MAX_BNDRY_VERTS if distortion else 6
+    out_lat = np.full((h.shape[0], width), np.nan)
+    out_lng = np.full((h.shape[0], width), np.nan)
     for r in np.unique(res):
         m = res == r
-        la, lo = _boundary_at_res(h[m], int(r), pent[m])
+        la, lo = _boundary_at_res(h[m], int(r), pent[m], distortion)
         out_lat[m] = la
         out_lng[m] = lo
     return out_lat, out_lng
 
 
-def _boundary_at_res(h, res: int, pent: np.ndarray):
+def _vertex_fijks(h, res: int, pent: np.ndarray):
+    """Per-vertex substrate face-ijk data for a same-res batch.
+
+    Returns (center_face, adj_res, orig2d, fpost, cpost, ov) where
+    orig2d[(v)] is the PRE-overage hex2d of vertex v in the center-face
+    frame (H3's fijkVerts), and fpost/cpost/ov are the post-overage
+    face / substrate ijk / overage class per vertex.
+    """
     face, ijk, _ = _h3_to_face_ijk(h)
     n = h.shape[0]
 
@@ -451,32 +487,173 @@ def _boundary_at_res(h, res: int, pent: np.ndarray):
         adj_res = res + 1
 
     verts = _VERTS_CIII if res % 2 == 1 else _VERTS_CII
-    n_verts = np.where(pent, 5, 6)
-
-    lat = np.full((n, 6), np.nan)
-    lng = np.full((n, 6), np.nan)
     res_arr = np.full(n, adj_res, dtype=np.int64)
+
+    orig2d = np.full((6, n, 2), np.nan)
+    fpost = np.zeros((6, n), dtype=np.int64)
+    cpost = np.zeros((6, n, 3), dtype=np.int64)
+    ov = np.zeros((6, n), dtype=np.int64)
     for v in range(6):
-        live = n_verts > v
-        if not live.any():
-            continue
         vc = ijk_normalize(center + verts[v])
-        f2, c2, ov = _adjust_overage_class2(
+        orig2d[v] = ijk_to_hex2d(vc)
+        f2, c2, o2 = _adjust_overage_class2(
             face, vc, res_arr, np.zeros(n, dtype=bool), substrate=True
         )
         # pentagon vertices can cross more than one face
+        # (H3 _adjustPentVertOverage repeats while overage == NEW_FACE)
         for _ in range(3):
-            again = pent & (ov == NEW_FACE)
+            again = pent & (o2 == NEW_FACE)
             if not again.any():
                 break
-            f3, c3, ov3 = _adjust_overage_class2(
+            f3, c3, o3 = _adjust_overage_class2(
                 f2, c2, res_arr, np.zeros(n, dtype=bool), substrate=True
             )
             f2 = np.where(again, f3, f2)
             c2 = np.where(again[:, None], c3, c2)
-            ov = np.where(again, ov3, ov)
-        v2d = ijk_to_hex2d(c2)
-        la, lo = geom.hex2d_to_geo(v2d, f2, adj_res, substrate=True)
-        lat[live, v] = np.degrees(la[live])
-        lng[live, v] = np.degrees(lo[live])
+            o2 = np.where(again, o3, o2)
+        fpost[v], cpost[v], ov[v] = f2, c2, o2
+    return face, adj_res, orig2d, fpost, cpost, ov
+
+
+def _boundary_at_res(h, res: int, pent: np.ndarray, distortion: bool):
+    """H3 _faceIjkToGeoBoundary / _faceIjkPentToGeoBoundary, vectorized.
+
+    Iterates vertex slots in H3's order — for each vertex t: first the
+    icosa-edge intersection between vertex t-1 and t (Class III cells
+    whose consecutive vertices land on different faces), then the true
+    vertex itself — scattering into per-cell cursors so each cell gets
+    its own variable-length (5..10) vertex list, NaN-padded.
+    """
+    n = h.shape[0]
+    face, adj_res, orig2d, fpost, cpost, ov = _vertex_fijks(h, res, pent)
+    n_verts = np.where(pent, 5, 6)
+    class3 = res % 2 == 1
+
+    width = MAX_BNDRY_VERTS if distortion else 6
+    lat = np.full((n, width), np.nan)
+    lng = np.full((n, width), np.nan)
+
+    # vertex geo coords (post-overage projection)
+    vlat = np.full((6, n), np.nan)
+    vlng = np.full((6, n), np.nan)
+    for v in range(6):
+        v2d = ijk_to_hex2d(cpost[v])
+        la, lo = geom.hex2d_to_geo(v2d, fpost[v], adj_res, substrate=True)
+        vlat[v], vlng[v] = np.degrees(la), np.degrees(lo)
+
+    if not distortion or not class3:
+        for v in range(6):
+            live = n_verts > v
+            lat[live, v] = vlat[v][live]
+            lng[live, v] = vlng[v][live]
+        return lat, lng
+
+    # Class III with distortion: interleave icosa-edge intersections.
+    t_tables = get_tables()
+    adj = _adj_dir()
+    max_dim = float(MAX_DIM_BY_CII_RES[adj_res])
+    sqrt3_2 = np.sqrt(3.0) / 2.0
+    # icosa face corner triangle in substrate hex2d (H3 v0/v1/v2)
+    e_verts = np.array(
+        [
+            [3.0 * max_dim, 0.0],
+            [-1.5 * max_dim, 3.0 * sqrt3_2 * max_dim],
+            [-1.5 * max_dim, -3.0 * sqrt3_2 * max_dim],
+        ]
+    )
+    # quadrant -> (edge start, edge end) corner indices: IJ->(v0,v1),
+    # JK->(v1,v2), KI->(v2,v0); index by quadrant value 1..3
+    edge_sel = np.zeros((4, 2), dtype=np.int64)
+    edge_sel[Q_IJ] = (0, 1)
+    edge_sel[Q_JK] = (1, 2)
+    edge_sel[Q_KI] = (2, 0)
+
+    cursor = np.zeros(n, dtype=np.int64)
+    rows = np.arange(n)
+    unit3 = int(UNIT_SCALE_BY_CII_RES[adj_res]) * 3
+    eps = 1e-7 * max_dim
+
+    def emit(mask, la, lo):
+        m = mask & (cursor < width)
+        lat[rows[m], cursor[m]] = la[m]
+        lng[rows[m], cursor[m]] = lo[m]
+        cursor[:] = np.where(m, cursor + 1, cursor)
+
+    # first true vertex
+    emit(np.ones(n, dtype=bool), vlat[0], vlng[0])
+
+    max_t = 7  # 6 vertex slots + wraparound intersection check
+    for t in range(1, max_t):
+        lastv = (t - 1) % 6
+        # per-cell current vertex index (pentagons wrap at 5)
+        vcur = np.where(pent, t % 5, t % 6)
+        in_loop = t <= n_verts  # pentagon iterates 5 (+1), hexagon 6 (+1)
+
+        f_last = fpost[lastv, rows]
+        f_cur = fpost[vcur, rows]
+        ov_last = ov[lastv, rows]
+
+        # --- hexagon intersection: endpoints in the CENTER-face frame
+        hex_cond = (
+            in_loop
+            & ~pent
+            & (f_cur != f_last)
+            & (ov_last != FACE_EDGE)
+        )
+        if hex_cond.any():
+            p0 = orig2d[lastv, rows]
+            p1 = orig2d[vcur, rows]
+            face2 = np.where(f_last == face, f_cur, f_last)
+            d = adj[face, face2]
+            ok = hex_cond & (d > 0)
+            e0 = e_verts[edge_sel[d, 0]]
+            e1 = e_verts[edge_sel[d, 1]]
+            inter = _v2d_intersect(p0, p1, e0, e1)
+            at_vertex = (
+                np.abs(inter - p0).max(axis=1) < eps
+            ) | (np.abs(inter - p1).max(axis=1) < eps)
+            ok &= ~at_vertex & np.isfinite(inter).all(axis=1)
+            ila, ilo = geom.hex2d_to_geo(inter, face, adj_res, substrate=True)
+            emit(ok, np.degrees(ila), np.degrees(ilo))
+
+        # --- pentagon intersection: current vertex mapped into the LAST
+        # vertex's face frame (H3 _faceIjkPentToGeoBoundary)
+        pent_cond = in_loop & pent & (f_cur != f_last)
+        if pent_cond.any():
+            d_back = adj[f_cur, f_last]  # current -> last face direction
+            nrot = t_tables.FACE_NEIGHBORS_ROT[f_cur, d_back]
+            ntrans = t_tables.FACE_NEIGHBORS_TRANSLATE[f_cur, d_back]
+            coord = cpost[vcur, rows]
+            for step in (1, 2, 3, 4, 5):
+                sel = pent_cond & (nrot >= step)
+                if not sel.any():
+                    break
+                coord = np.where(sel[:, None], rotate60_ccw(coord), coord)
+            coord = ijk_normalize(coord + ntrans * unit3)
+            p0 = ijk_to_hex2d(cpost[lastv, rows])
+            p1 = ijk_to_hex2d(coord)
+            d = adj[f_last, f_cur]
+            ok = pent_cond & (d > 0) & (d_back > 0)
+            e0 = e_verts[edge_sel[d, 0]]
+            e1 = e_verts[edge_sel[d, 1]]
+            inter = _v2d_intersect(p0, p1, e0, e1)
+            ok &= np.isfinite(inter).all(axis=1)
+            ila, ilo = geom.hex2d_to_geo(inter, f_last, adj_res, substrate=True)
+            emit(ok, np.degrees(ila), np.degrees(ilo))
+
+        # --- the true vertex itself (not on the wraparound iteration)
+        emit(t < n_verts, vlat[vcur, rows], vlng[vcur, rows])
+
     return lat, lng
+
+
+def _v2d_intersect(p0, p1, e0, e1):
+    """Line intersection of segment p0->p1 with line e0->e1 (H3
+    _v2dIntersect). p0/p1: (N,2); e0/e1: (N,2) or (2,)."""
+    s1 = p1 - p0
+    s2 = np.broadcast_to(e1 - e0, p0.shape)
+    e0 = np.broadcast_to(e0, p0.shape)
+    denom = -s2[:, 0] * s1[:, 1] + s1[:, 0] * s2[:, 1]
+    denom = np.where(denom == 0.0, np.nan, denom)
+    t = (s2[:, 0] * (p0[:, 1] - e0[:, 1]) - s2[:, 1] * (p0[:, 0] - e0[:, 0])) / denom
+    return p0 + t[:, None] * s1

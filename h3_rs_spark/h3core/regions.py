@@ -192,7 +192,10 @@ def cells_to_multipolygon(cells: np.ndarray):
     cells = np.unique(np.atleast_1d(np.asarray(cells, dtype=np.int64)))
     if cells.size == 0:
         return []
-    blat, blng = fk.h3_to_geo_boundary(cells)
+    # distortion=False: stitching matches shared edges between adjacent
+    # cells by vertex identity; icosa-crossing vertices are computed in
+    # each cell's own face frame and may differ in the last ulp
+    blat, blng = fk.h3_to_geo_boundary(cells, distortion=False)
 
     def key(lat, lng):
         return (round(float(lat), 9), round(float(lng), 9))

@@ -44,7 +44,9 @@ def neighbors(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     r = int(res[0])
 
     clat, clng = fk.h3_to_geo(h)
-    blat, blng = fk.h3_to_geo_boundary(h)  # (N, 6) deg, NaN pad for pentagons
+    # true 6 vertices only (distortion=False): edge-midpoint reflection
+    # needs the cell's actual edges, not icosa-crossing interpolations
+    blat, blng = fk.h3_to_geo_boundary(h, distortion=False)  # (N, 6) deg
     c = geo_to_xyz(np.radians(clat), np.radians(clng))  # (N, 3)
 
     n = h.shape[0]

@@ -237,8 +237,10 @@ class TestRegions:
             (-122.02910130919, 37.26319797461824),
         ]
         blat, blng = h3.h3_to_geo_boundary(np.array([0x85283473FFFFFFF]))
-        verts = list(zip(blng[0], blat[0]))
-        assert not any(np.isnan(v[0]) for v in verts)
+        keep = ~np.isnan(blat[0])
+        verts = list(zip(blng[0][keep], blat[0][keep]))
+        # mid-face cell: no icosa-edge crossings, exactly 6 true vertices
+        assert len(verts) == 6
         # find rotation offset aligning to expected
         errs = []
         for off in range(6):
@@ -408,3 +410,110 @@ class TestExtendedParity:
         _, one_cell = h3.k_ring(np.array([0x85283473FFFFFFF]), 0)
         r1 = cells_to_multipolygon(one_cell)
         assert len(r1) == 1 and len(r1[0]) == 6
+
+
+class TestClassIIIDistortionVertices:
+    """Class III cells whose edges cross icosahedron face edges get an
+    extra vertex per crossing (H3 h3ToGeoBoundary; reference buffer
+    MAX_CELL_BNDRY_VERTS=10, h3-sys/src/ffi.rs:3, trimmed at
+    src/raw.rs:92-103). No external golden exists in this container, so
+    the vertices are validated against the geometry itself: every
+    inserted vertex must lie exactly on an icosahedron edge great
+    circle, with the true 6 (5) vertices preserved in cyclic order."""
+
+    def _icosa_edge_normals(self):
+        from h3_rs_spark.h3core import geom
+        from h3_rs_spark.h3core.constants import MAX_DIM_BY_CII_RES
+
+        m = float(MAX_DIM_BY_CII_RES[2])
+        s32 = np.sqrt(3.0) / 2.0
+        ev = np.array([[3 * m, 0], [-1.5 * m, 3 * s32 * m], [-1.5 * m, -3 * s32 * m]])
+        normals = []
+        for f in range(20):
+            la, lo = geom.hex2d_to_geo(ev, np.full(3, f), 2, substrate=True)
+            c = geom.geo_to_xyz(la, lo)
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                nrm = np.cross(c[a], c[b])
+                normals.append(nrm / np.linalg.norm(nrm))
+        return np.array(normals)
+
+    def test_hexagon_crossings_on_icosa_edges(self):
+        from h3_rs_spark.h3core import geom
+
+        normals = self._icosa_edge_normals()
+        rng = np.random.default_rng(1)
+        lats = rng.uniform(-85, 85, 8000)
+        lngs = rng.uniform(-180, 180, 8000)
+        checked = 0
+        for res in (1, 3, 5):
+            cells = np.unique(h3.geo_to_h3(lats, lngs, res))
+            la10, lo10 = h3.h3_to_geo_boundary(cells, distortion=True)
+            la6, lo6 = h3.h3_to_geo_boundary(cells, distortion=False)
+            nv10 = (~np.isnan(la10)).sum(axis=1)
+            assert (nv10 >= 6).all() and (nv10 <= 10).all()
+            for i in np.flatnonzero(nv10 > 6):
+                true6 = {
+                    (round(la6[i, v], 9), round(lo6[i, v], 9))
+                    for v in range(6)
+                    if not np.isnan(la6[i, v])
+                }
+                seq10 = [
+                    (round(la10[i, v], 9), round(lo10[i, v], 9))
+                    for v in range(int(nv10[i]))
+                ]
+                for p in seq10:
+                    if p in true6:
+                        continue
+                    xyz = geom.geo_to_xyz(np.radians(p[0]), np.radians(p[1]))
+                    assert np.abs(normals @ xyz).min() < 1e-9
+                    checked += 1
+                # true vertices preserved in order
+                assert [p for p in seq10 if p in true6] == [
+                    (round(la6[i, v], 9), round(lo6[i, v], 9))
+                    for v in range(6)
+                    if not np.isnan(la6[i, v])
+                ]
+        assert checked > 50  # the sample must actually exercise crossings
+
+    def test_class2_always_six(self):
+        rng = np.random.default_rng(2)
+        lats = rng.uniform(-85, 85, 3000)
+        lngs = rng.uniform(-180, 180, 3000)
+        for res in (2, 4, 6):
+            cells = np.unique(h3.geo_to_h3(lats, lngs, res))
+            la, _ = h3.h3_to_geo_boundary(cells, distortion=True)
+            pent = h3.is_pentagon(cells)
+            nv = (~np.isnan(la)).sum(axis=1)
+            assert (nv[~pent] == 6).all()
+
+    def test_pentagon_class3_ten_vertices(self):
+        from h3_rs_spark.h3core import geom, indexing
+        from h3_rs_spark.h3core.constants import BASE_CELL_IS_PENTAGON
+
+        pent_bc = np.flatnonzero(BASE_CELL_IS_PENTAGON)
+        h1 = indexing.from_components(
+            pent_bc,
+            np.full(len(pent_bc), 1),
+            np.zeros((len(pent_bc), 15), dtype=np.int64),
+        )
+        la, lo = h3.h3_to_geo_boundary(h1)
+        nv = (~np.isnan(la)).sum(axis=1)
+        # all Class III pentagon edges cross icosa edges: 5 true + 5 extra
+        assert (nv == 10).all()
+        normals = self._icosa_edge_normals()
+        la6, lo6 = h3.h3_to_geo_boundary(h1, distortion=False)
+        for i in range(len(h1)):
+            true5 = {
+                (round(la6[i, v], 9), round(lo6[i, v], 9))
+                for v in range(6)
+                if not np.isnan(la6[i, v])
+            }
+            extra = 0
+            for v in range(10):
+                p = (round(la[i, v], 9), round(lo[i, v], 9))
+                if p in true5:
+                    continue
+                xyz = geom.geo_to_xyz(np.radians(p[0]), np.radians(p[1]))
+                assert np.abs(normals @ xyz).min() < 1e-9
+                extra += 1
+            assert extra == 5
