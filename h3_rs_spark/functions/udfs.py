@@ -120,11 +120,13 @@ def k_ring_distances_udf(k: int):
 def h3_to_children_udf(child_res: int):
     @F.pandas_udf(ArrayType(LongType()))
     def _f(cell: pd.Series) -> pd.Series:
+        c = cell.to_numpy(dtype=np.int64)
+        owner, kids = indexing.to_children_batch(c, child_res)
+        ord_ = np.argsort(owner, kind="stable")  # group rows contiguously
+        owner, kids = owner[ord_], kids[ord_]
+        counts = np.bincount(owner, minlength=len(c))
         return pd.Series(
-            [
-                indexing.to_children(int(c), child_res).tolist()
-                for c in cell.to_numpy(dtype=np.int64)
-            ]
+            [a.tolist() for a in np.split(kids, np.cumsum(counts)[:-1])]
         )
 
     return _f

@@ -222,6 +222,45 @@ def to_children(h: int, child_res: int) -> np.ndarray:
     return from_components(np.full(n, bc), np.full(n, child_res), digits)
 
 
+def to_children_batch(h, child_res: int) -> tuple[np.ndarray, np.ndarray]:
+    """All descendants at child_res for a BATCH of cells (vectorized).
+
+    Returns (owner_idx, children): row owner_idx[i] of the input owns
+    children[i]. Children are generated level-by-level with pure bit
+    math — one numpy step per resolution level, no per-cell Python.
+    Pentagon lineage skips the K digit (center child stays a pentagon
+    with 6 children). Same outputs as the scalar to_children.
+    """
+    h = np.atleast_1d(_i64(h))
+    res = get_resolution(h)
+    out_owner, out_cells = [], []
+    for r0 in np.unique(res):
+        m = np.flatnonzero(res == r0)
+        if r0 > child_res:
+            continue
+        cur = h[m].copy()
+        owner = m.copy()
+        pent = is_pentagon(cur)
+        for r in range(int(r0) + 1, child_res + 1):
+            off = np.int64((15 - r) * 3)
+            # bump the res field and clear digit r (7 -> 0)
+            base = cur + np.int64(1 << 52) - (np.int64(7) << off)
+            child = base[:, None] + (np.arange(7, dtype=np.int64)[None, :] << off)
+            keep = np.ones((cur.shape[0], 7), dtype=bool)
+            keep[pent, 1] = False  # pentagons skip the K digit
+            new_pent = np.zeros((cur.shape[0], 7), dtype=bool)
+            new_pent[pent, 0] = True
+            flat = keep.ravel()
+            cur = child.ravel()[flat]
+            owner = np.repeat(owner, 7)[flat]
+            pent = new_pent.ravel()[flat]
+        out_owner.append(owner)
+        out_cells.append(cur)
+    if not out_owner:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_owner), np.concatenate(out_cells)
+
+
 def h3_to_hex_str(h) -> list[str]:
     return [format(int(x), "x") for x in np.atleast_1d(_i64(h))]
 

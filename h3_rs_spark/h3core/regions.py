@@ -66,6 +66,17 @@ def points_in_polygon(
     return inside
 
 
+def ring_area_m2(ring, radius_m: float = EARTH_RADIUS_KM * 1000.0) -> float:
+    """Spherical area of a (lng, lat)-degree ring (geodesic shoelace:
+    area = R^2/2 * |sum (lng2-lng1)(2 + sin lat1 + sin lat2)| — the
+    standard spherical-excess approximation for geographic polygons)."""
+    r = _close_ring(np.asarray(ring, dtype=np.float64))
+    lng = np.radians(r[:, 0])
+    lat = np.radians(r[:, 1])
+    s = np.sum((lng[1:] - lng[:-1]) * (2.0 + np.sin(lat[:-1]) + np.sin(lat[1:])))
+    return float(abs(s) * radius_m * radius_m / 2.0)
+
+
 MAX_POLYFILL_CELLS = 5_000_000
 
 

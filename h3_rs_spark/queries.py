@@ -802,6 +802,55 @@ def q36_compact_distributed(spark, sf_dir):
 Q36_SQL = "SELECT 1 AS roundtrip_ok, 1 AS is_antichain"
 
 
+def q37_polyfill_distributed(spark, sf_dir):
+    """Continent-scale polyfill: a polygon whose bbox candidate
+    count exceeds the driver cap (regions.MAX_POLYFILL_CELLS) must (a)
+    refuse the driver path and (b) fill distributively, with the fine
+    cell count consistent with a coarse driver polyfill (x7 per level,
+    boundary effects ~perimeter/area) and with the polygon's spherical
+    area. Reference parity: polyfill is the flagship region op
+    (src/region.rs:49-59); this is its at-scale form."""
+    from .h3core import regions
+    from .h3core import hex_area_m2
+    from .operators.polyfill_dist import polyfill_distributed
+
+    ang = np.linspace(0.0, 2.0 * np.pi, 9)[:-1]
+    ext = [(30.0 + 8.0 * np.cos(a), 20.0 + 8.0 * np.sin(a)) for a in ang]
+    hole = [(30.0 + 1.5 * np.cos(a), 20.0 + 1.5 * np.sin(a)) for a in ang]
+    res = 8  # bbox estimate ~2.5e7 candidates: over the driver cap
+
+    try:
+        regions.polyfill(ext, [hole], res)
+        driver_refuses = False
+    except ValueError:
+        driver_refuses = True
+
+    n = polyfill_distributed(spark, ext, [hole], res).count()
+
+    coarse = 5
+    n_coarse = regions.polyfill(ext, [hole], coarse).shape[0]
+    scale_ratio = n / (n_coarse * 7 ** (res - coarse))
+
+    area = regions.ring_area_m2(ext) - regions.ring_area_m2(hole)
+    area_ratio = n * hex_area_m2(res) / area
+    return spark.createDataFrame(
+        [
+            (
+                int(driver_refuses),
+                int(abs(scale_ratio - 1.0) < 0.02),
+                int(abs(area_ratio - 1.0) < 0.2),
+            )
+        ],
+        "driver_refuses long, coarse_consistent long, area_consistent long",
+    )
+
+
+Q37_SQL = (
+    "SELECT 1 AS driver_refuses, 1 AS coarse_consistent, "
+    "1 AS area_consistent"
+)
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -844,4 +893,5 @@ def catalog():
         ),
         "q35_video_frame_sample": (q35_video_frame_sample, None),
         "q36_compact_distributed": (q36_compact_distributed, Q36_SQL),
+        "q37_polyfill_distributed": (q37_polyfill_distributed, Q37_SQL),
     }

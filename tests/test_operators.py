@@ -403,3 +403,43 @@ class TestFingerprintVectorized:
         got = _fp_batch(texts)
         want = fingerprint_oracle(texts)
         assert (got == want).all()
+
+
+class TestPolyfillDistributed:
+    def test_equals_driver_polyfill(self, spark):
+        """Distributed polyfill (coarse cover -> children explode ->
+        centroid PIP) must equal driver polyfill cell-for-cell."""
+        from h3_rs_spark.operators.polyfill_dist import polyfill_distributed
+
+        ext, holes, _ = datagen.POLYGONS["sf_hexagon"]
+        want = sorted(regions.polyfill(ext, holes, 9).tolist())
+        got = sorted(
+            r[0]
+            for r in polyfill_distributed(
+                spark, ext, holes, 9, coarse_res=5
+            ).collect()
+        )
+        assert got == want and len(got) == 1253
+
+    def test_with_holes_and_auto_coarse(self, spark):
+        from h3_rs_spark.operators.polyfill_dist import polyfill_distributed
+
+        ext, holes, _ = datagen.POLYGONS["sf_hexagon_2holes"]
+        want = sorted(regions.polyfill(ext, holes, 8).tolist())
+        got = sorted(
+            r[0]
+            for r in polyfill_distributed(spark, ext, holes, 8).collect()
+        )
+        assert got == want
+
+
+class TestChildrenBatch:
+    def test_matches_scalar(self):
+        from h3_rs_spark.h3core import indexing as ix
+
+        cells = [0x87283472BFFFFFF, 0x821C07FFFFFFFFF, 0x85283473FFFFFFF]
+        o, got = ix.to_children_batch(np.array(cells), 9)
+        for i, c in enumerate(cells):
+            assert sorted(got[o == i].tolist()) == sorted(
+                ix.to_children(c, 9).tolist()
+            )
