@@ -134,9 +134,8 @@ def h3_to_children_udf(child_res: int):
 
 @F.pandas_udf(IntegerType())
 def h3_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..h3core.localij import h3_distance_batch
+
     av = a.to_numpy(dtype=np.int64)
     bv = b.to_numpy(dtype=np.int64)
-    return pd.Series(
-        [traversal.h3_distance(int(x), int(y)) for x, y in zip(av, bv)],
-        dtype="int32",
-    )
+    return pd.Series(h3_distance_batch(av, bv), dtype="int32")

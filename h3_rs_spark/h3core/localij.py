@@ -165,19 +165,42 @@ def local_frames(a: np.ndarray, b: np.ndarray):
     return ok, diff_res, res_a, (fa, ia, wb_in_fa, class3)
 
 
-def h3_distance_batch(a, b) -> np.ndarray:
-    """Grid distance for same-res pairs, vectorized. Planar local-frame
-    math where trustworthy, BFS fallback otherwise; -1 when resolutions
-    differ or BFS gives up."""
+def _bfs_fallback_batch(a, b, out, rem: np.ndarray, max_k: int = 64):
+    """Distances for the non-planar pairs: batched ring BFS with
+    radius doubling — one vectorized k_ring_distances sweep per radius
+    over the UNIQUE remaining origins, instead of a per-pair BFS."""
     from . import traversal as tv
 
+    k = 4
+    while rem.size and k <= max_k:
+        ua, inv = np.unique(a[rem], return_inverse=True)
+        o, cells, dist = tv.k_ring_distances(ua, k)
+        lut = {}
+        for oi, c, d in zip(o.tolist(), cells.tolist(), dist.tolist()):
+            lut[(oi, c)] = d
+        hit = np.array(
+            [(int(inv[i]), int(b[r])) in lut for i, r in enumerate(rem)]
+        )
+        for i in np.flatnonzero(hit):
+            out[rem[i]] = lut[(int(inv[i]), int(b[rem[i]]))]
+        rem = rem[~hit]
+        k *= 2
+    return out
+
+
+def h3_distance_batch(a, b) -> np.ndarray:
+    """Grid distance for same-res pairs, vectorized. Planar local-frame
+    math where trustworthy, batched ring-BFS fallback otherwise; -1 when
+    resolutions differ or the search gives up."""
     a = np.atleast_1d(np.asarray(a, dtype=np.int64))
     b = np.atleast_1d(np.asarray(b, dtype=np.int64))
     ok, diff_res, res_a, _ = local_frames(a, b)
     out = np.full(a.shape[0], -1, dtype=np.int64)
     out[ok] = _ijk_dist(diff_res[ok])
-    for i in np.flatnonzero(~ok):
-        out[i] = tv.h3_distance_bfs(int(a[i]), int(b[i]))
+    same_res = ix.get_resolution(a) == ix.get_resolution(b)
+    rem = np.flatnonzero(~ok & same_res)
+    if rem.size:
+        out = _bfs_fallback_batch(a, b, out, rem)
     return out
 
 
@@ -188,7 +211,11 @@ def _cube_lerp_round(ax0, bz0, ax1, bz1, n: int) -> tuple[np.ndarray, np.ndarray
     x = ax0 + (ax1 - ax0) * ts
     z = bz0 + (bz1 - bz0) * ts
     y = -x - z
-    rx, ry, rz = np.round(x), np.round(y), np.round(z)
+
+    def rnd(v):  # half away from zero (C round, as H3 _cubeRound uses)
+        return np.trunc(v + np.copysign(0.5, v))
+
+    rx, ry, rz = rnd(x), rnd(y), rnd(z)
     dx, dy, dz = np.abs(rx - x), np.abs(ry - y), np.abs(rz - z)
     fix_x = (dx > dy) & (dx > dz)
     fix_y = ~fix_x & (dy > dz)
@@ -213,16 +240,18 @@ def h3_line_local(a: int, b: int) -> np.ndarray | None:
     if d == 0:
         return np.array([a], dtype=np.int64)
 
-    # endpoints in a's RES-grid frame, axial coords
+    # endpoints in a's RES-grid frame, proper cube coords (H3 _ijkToCube:
+    # x = -i + k, y = j - k, z = -x - y)
     ia0 = ia[0]
     ib0 = ia[0] - diff_res[0]  # b = a - (a - b)
-    ax0, bz0 = ia0[0] - ia0[2], ia0[1] - ia0[2]
-    ax1, bz1 = ib0[0] - ib0[2], ib0[1] - ib0[2]
-    ax, bz = _cube_lerp_round(float(ax0), float(bz0), float(ax1), float(bz1), d)
+    x0, y0 = -ia0[0] + ia0[2], ia0[1] - ia0[2]
+    x1, y1 = -ib0[0] + ib0[2], ib0[1] - ib0[2]
+    cx, cy = _cube_lerp_round(float(x0), float(y0), float(x1), float(y1), d)
 
-    # axial -> normalized cube, fold overflow back onto real faces, encode
+    # cube -> ijk (H3 _cubeToIjk: (-x, y, 0) normalized), fold overflow
+    # back onto real faces, encode
     pts = ijk_normalize(
-        np.stack([ax, bz, np.zeros_like(ax)], axis=-1)
+        np.stack([-cx, cy, np.zeros_like(cx)], axis=-1)
     )
     cls3 = bool(class3[0])
     work = down_ap7r(pts) if cls3 else pts

@@ -154,10 +154,19 @@ def hex_range_distances(h: np.ndarray, k: int):
     return o, c, d, ok
 
 
-def h3_distance(a: int, b: int, max_k: int = 64) -> int:
-    """Grid distance between two cells (BFS; -1 if not reachable within
-    max_k or resolutions differ). Adequate for query-local distances; the
-    engine's kNN uses ring indices from k_ring_distances instead."""
+def h3_distance(a: int, b: int) -> int:
+    """Grid distance between two cells (H3 h3Distance semantics,
+    reference src/traversal.rs:90-101): O(1) local-frame axial math on
+    the same or an adjacent icosa face, BFS fallback near pentagons or
+    across two face edges; -1 when resolutions differ / unreachable."""
+    from .localij import h3_distance_batch
+
+    return int(h3_distance_batch(np.array([a]), np.array([b]))[0])
+
+
+def h3_distance_bfs(a: int, b: int, max_k: int = 64) -> int:
+    """Grid distance by frontier BFS (exact oracle for the local-frame
+    path; also the fallback when the planar frame is untrustworthy)."""
     a, b = int(a), int(b)
     if int(ix.get_resolution(a)) != int(ix.get_resolution(b)):
         return -1
@@ -183,13 +192,23 @@ def h3_distance(a: int, b: int, max_k: int = 64) -> int:
 
 
 def h3_line(a: int, b: int, max_steps: int = 10_000) -> np.ndarray:
-    """Cell path from a to b: greedy great-circle walk over neighbors.
+    """Cell path from a to b (H3 h3Line semantics, reference
+    src/traversal.rs:103-123): cube-coordinate lerp with cube rounding
+    in a's local face frame — length == h3_distance(a, b) + 1 and
+    consecutive cells are neighbors. Falls back to the greedy
+    great-circle walk where the planar frame is untrustworthy (pentagon
+    proximity, > 1 icosa edge — H3 itself errors there)."""
+    from .localij import h3_line_local
 
-    Produces a connected path with the same endpoints as H3 h3Line; the
-    interior may differ from H3's IJK-lerp path (documented deviation —
-    no reference golden covers h3Line, /root/reference/src/traversal.rs
-    only tests its length indirectly).
-    """
+    path = h3_line_local(int(a), int(b))
+    if path is not None:
+        return path
+    return _h3_line_greedy(int(a), int(b), max_steps)
+
+
+def _h3_line_greedy(a: int, b: int, max_steps: int = 10_000) -> np.ndarray:
+    """Greedy great-circle walk fallback (connected, endpoints exact;
+    not guaranteed minimal)."""
     a, b = int(a), int(b)
     tlat, tlng = fk.h3_to_geo(np.array([b], dtype=np.int64))
     txyz = geo_to_xyz(np.radians(tlat), np.radians(tlng))[0]

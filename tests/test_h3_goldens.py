@@ -517,3 +517,76 @@ class TestClassIIIDistortionVertices:
                 assert np.abs(normals @ xyz).min() < 1e-9
                 extra += 1
             assert extra == 5
+
+
+class TestLocalFrame:
+    """Local-face-frame distance and line (H3 localIJ analogue;
+    reference src/traversal.rs:90-123). The BFS oracle is ground truth."""
+
+    def test_distance_matches_bfs_including_cross_face(self):
+        from h3_rs_spark.h3core import traversal as tv
+        from h3_rs_spark.h3core.localij import h3_distance_batch
+
+        rng = np.random.default_rng(3)
+        lats = rng.uniform(-85, 85, 80)
+        lngs = rng.uniform(-180, 180, 80)
+        n = 0
+        for res in (2, 5, 8):
+            for o in np.unique(h3.geo_to_h3(lats, lngs, res))[:12]:
+                _, ring = tv.k_ring(np.array([o]), 4)
+                for p in rng.choice(ring, size=4, replace=False):
+                    want = tv.h3_distance_bfs(int(o), int(p))
+                    got = int(
+                        h3_distance_batch(np.array([o]), np.array([p]))[0]
+                    )
+                    assert got == want, (hex(int(o)), hex(int(p)), got, want)
+                    n += 1
+        assert n > 100
+
+    def test_distance_pentagon_adjacent(self):
+        from h3_rs_spark.h3core import traversal as tv
+        from h3_rs_spark.h3core.localij import h3_distance_batch
+
+        _, cells, dist = tv.k_ring_distances(np.array([0x870800003FFFFFF]), 3)
+        got = h3_distance_batch(np.full(len(cells), 0x870800003FFFFFF), cells)
+        assert (got == dist).all()
+
+    def test_line_properties(self):
+        """gridPathCells contract: length == distance+1, consecutive
+        cells are neighbors, endpoints exact, no duplicates."""
+        from h3_rs_spark.h3core import indexing as ix
+        from h3_rs_spark.h3core import traversal as tv
+        from h3_rs_spark.h3core.localij import h3_distance_batch, h3_line_local
+
+        rng = np.random.default_rng(4)
+        lats = rng.uniform(-85, 85, 60)
+        lngs = rng.uniform(-180, 180, 60)
+        checked = 0
+        for res in (3, 7):
+            for o in np.unique(h3.geo_to_h3(lats, lngs, res))[:10]:
+                _, ring = tv.k_ring(np.array([o]), 5)
+                for p in rng.choice(ring, size=3, replace=False):
+                    path = h3_line_local(int(o), int(p))
+                    if path is None:
+                        continue
+                    d = int(h3_distance_batch(np.array([o]), np.array([p]))[0])
+                    assert len(path) == d + 1
+                    assert path[0] == o and path[-1] == p
+                    assert ix.is_valid(path).all()
+                    assert len(set(path.tolist())) == len(path)
+                    for i in range(len(path) - 1):
+                        _, nb = tv.neighbors(np.array([path[i]]))
+                        assert path[i + 1] in nb
+                    checked += 1
+        assert checked > 30
+
+    def test_h3_line_public_api_minimal(self):
+        """h3_line now returns a minimal path wherever the local frame
+        applies (old greedy walk was only connected, not minimal)."""
+        from h3_rs_spark.h3core import traversal as tv
+
+        a = 0x8928308280FFFFF
+        _, ring = tv.hex_ring(np.array([a]), 4)
+        for b in ring[:6]:
+            path = tv.h3_line(a, int(b))
+            assert len(path) == tv.h3_distance(a, int(b)) + 1

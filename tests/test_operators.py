@@ -266,6 +266,41 @@ class TestSimsearch:
         )
         assert recall >= 0.7, recall
 
+    def test_ivf_indexed_layout_prunes_partitions(self, spark, tmp_path):
+        """The materialized IVF layout must (a) return the same top-k as
+        the inline ivf_topk and (b) prune the scan to the probed bucket
+        directories (partition filter on ivf_bucket in the plan)."""
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((400, 16)).astype(np.float32)
+        vecs = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(400), "embedding": [v.tolist() for v in base]}
+            )
+        )
+        q_pdf = pd.DataFrame(
+            {
+                "query_id": [f"q{i}" for i in range(8)],
+                "q_vec": [base[i].tolist() for i in range(8)],
+            }
+        )
+        path = str(tmp_path / "ivf")
+        simsearch.write_ivf_index(vecs, path, nlist=8)
+        out = simsearch.ivf_topk_indexed(spark, path, q_pdf, k=5, nprobe=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ivf_bucket" in plan and "PartitionFilters: [" in plan
+        # the partition filter must actually name the isin predicate
+        assert "dynamicpruning" in plan or "ivf_bucket" in plan.split(
+            "PartitionFilters"
+        )[1][:400]
+        inline = simsearch.ivf_topk(
+            spark, vecs, q_pdf, k=5, nlist=8, nprobe=4
+        ).toPandas()
+        indexed = out.toPandas()
+        key = ["query_id", "neighbor_id", "rank"]
+        assert sorted(map(tuple, indexed[key].values.tolist())) == sorted(
+            map(tuple, inline[key].values.tolist())
+        )
+
 
 class TestDistributedHierarchy:
     def test_compact_df_matches_kernel(self, spark, images):
