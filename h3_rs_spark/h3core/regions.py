@@ -121,9 +121,6 @@ def polyfill(exterior, holes, res: int) -> np.ndarray:
     at that scale fill coarse then `uncompact`/distribute via
     operators.hierarchy_ops instead of materializing on the driver."""
     ext = _close_ring(np.asarray(exterior, dtype=np.float64))
-    lng_min, lat_min = ext.min(axis=0)
-    lng_max, lat_max = ext.max(axis=0)
-
     cells = _bbox_scan_cells(ext, res)
 
     clat, clng = fk.h3_to_geo(cells)

@@ -138,6 +138,8 @@ def minhash_lsh_dedup(
         F.col(id_col).alias("id"),
         minhash_signature_udf(num_hashes, shingle)(F.col(text_col)).alias("sig"),
     ).persist()
+    sig.count()  # materialize eagerly: parallel AQE query stages would
+    # otherwise race the cache and run the Arrow UDF 2-4x concurrently
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -217,6 +219,7 @@ def simhash_dedup(
     sim = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
     ).persist()
+    sim.count()  # eager: see minhash_lsh_dedup
     chunks = [
         F.struct(
             F.lit(i).alias("band"),
@@ -324,6 +327,7 @@ def embedding_near_dup(
         F.col(vec_col).cast("array<double>").alias("v"),
         _buckets(vec_col).alias("buckets"),
     ).persist()
+    base.count()  # eager: see minhash_lsh_dedup
     banded = base.select("id", F.explode("buckets").alias("bucket"))
     banded = _cap_buckets(banded, ["bucket"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")

@@ -63,12 +63,99 @@ def knn_join(
     JVM-computed parent cell — same coverage, bounded ring sizes, and the
     fact table never gains a new column or shuffle. `max_ring` bounds the
     *equivalent base-res ring* (geo radius), not the per-round BFS size.
+
+    Density precheck: one broadcast-join count
+    job over a coarse disk around each query estimates the local fact
+    density and picks the starting (res_eff, ring) per query — dense
+    metro queries start at ring ~2 while sparse-ocean queries jump
+    straight to a coarse res, instead of every query paying the same
+    blind expand-and-retry round sequence. Completion is still proven by
+    the guaranteed-radius test, so the result is exact regardless of the
+    estimate.
     """
     q_pdf = queries.select("query_id", "lat", "lng").toPandas()
+    return _knn_run(
+        spark, images, q_pdf, k, res, cell_col, initial_ring, max_ring
+    )
 
+
+def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
+    """Per-query starting (res_eff, ring) from one coarse density job."""
+    res_pre = max(0, res - 4)
+    q_cells = traversal.fk.geo_to_h3(
+        q_pdf["lat"].to_numpy(), q_pdf["lng"].to_numpy(), res_pre
+    )
+    owner, cells, _ = traversal.k_ring_distances(q_cells, 1)
+    pre = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": q_pdf["query_id"].to_numpy()[owner],
+                    "pre_cell": cells,
+                }
+            )
+        )
+    )
+    probe_key = (
+        images[cell_col]
+        if res_pre == res
+        else h3_to_parent_col(images[cell_col], res_pre)
+    )
+    cnt = (
+        images.join(pre, probe_key == pre["pre_cell"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .set_index("query_id")["n"]
+    )
+    # disk of 7 pre-cells covers ~7^(res-res_pre+1) base-res cells
+    cover = 7.0 ** (res - res_pre + 1)
+    plans = {}
+    for qid in q_pdf["query_id"]:
+        n = float(cnt.get(qid, 0))
+        density = n / cover  # fact rows per base-res cell
+        if density > 0:
+            # ring holding ~3k expected rows (cells(r) ~= 3r^2)
+            r = int(np.ceil(1.3 * np.sqrt(k / density))) + 1
+        else:
+            # nothing within the coarse disk: start at the coarse res
+            r = _COARSEN_AT * 7 ** ((res - res_pre) // 2)
+        r = max(r, initial_ring)
+        res_eff = res
+        while r > _COARSEN_AT and res_eff > 0:
+            res_eff = max(0, res_eff - 2)
+            r = max(1, r // 7)
+        plans[qid] = (res_eff, r)
+    return plans
+
+
+def _knn_run(spark, images, q_pdf, k, res, cell_col, initial_ring, max_ring):
+    plans = _initial_plans(
+        spark, images, q_pdf, k, res, cell_col, initial_ring
+    )
+    results = []
+    groups = {}
+    for qid, plan in plans.items():
+        groups.setdefault(plan, []).append(qid)
+    for (res_eff0, ring0), qids in groups.items():
+        sub = q_pdf[q_pdf["query_id"].isin(qids)]
+        results.append(
+            _knn_rounds(
+                spark, images, sub, k, res, cell_col, res_eff0, ring0, max_ring
+            )
+        )
+    out = (
+        pd.concat(results, ignore_index=True)
+        if results
+        else pd.DataFrame(columns=["query_id", "image_id", "dist_m", "rank"])
+    )
+    return spark.createDataFrame(out)
+
+
+def _knn_rounds(
+    spark, images, q_pdf, k, res, cell_col, res_eff, ring, max_ring
+):
     remaining = q_pdf
-    ring = initial_ring
-    res_eff = res
     results = []
     while len(remaining):
         # escalate resolution if the ring got large
@@ -119,10 +206,9 @@ def knn_join(
             results.append(topk_pdf[topk_pdf["query_id"].isin(done_ids)])
         remaining = remaining[~remaining["query_id"].isin(done_ids)]
         ring = ring * 4
-    out = pd.concat(results, ignore_index=True) if results else pd.DataFrame(
+    return pd.concat(results, ignore_index=True) if results else pd.DataFrame(
         columns=["query_id", "image_id", "dist_m", "rank"]
     )
-    return spark.createDataFrame(out)
 
 
 def knn_oracle(images_pdf: pd.DataFrame, queries_pdf: pd.DataFrame, k: int):

@@ -524,12 +524,15 @@ def q23_h3_cell_density(spark, sf_dir):
         pts.withColumn("cell", geo_to_h3_udf(7)("lat", "lng"))
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
+        .persist()  # feeds the top-k sort AND the conservation total
     )
-    top = dens.orderBy(F.desc("n"), "cell").limit(20)
-    total = dens.agg(F.sum("n").alias("s")).first()[0]
-    top_sum = top.agg(F.sum("n").alias("s")).first()[0]
+    top_sum, n_top = dens.orderBy(F.desc("n"), "cell").limit(20).agg(
+        F.sum("n"), F.count("*")
+    ).first()
+    total = dens.agg(F.sum("n")).first()[0]
+    dens.unpersist()
     return spark.createDataFrame(
-        [(int(total), 20, int(top_sum <= total))],
+        [(int(total), int(n_top), int(top_sum <= total))],
         "total_points long, n_top long, top_sum_le_total long",
     )
 
