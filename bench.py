@@ -33,6 +33,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 IMAGES_PER_SF = 2_000_000
 
 
+def cpu_probe_ms() -> float:
+    """Single-core numpy probe: calibrates VM noisy-neighbor windows.
+    Healthy windows measure ~150-250 ms on this VM class; slow windows
+    (documented in BENCH/BASELINE.md round 1) read 1.5-3x that, and all
+    wall-clock numbers from the same run scale with it."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal(2_000_000)
+    t0 = time.time()
+    for _ in range(20):
+        np.sqrt(a * a + 1.0).sum()
+    return round((time.time() - t0) * 1000.0, 1)
+
+
 def _sf() -> float:
     name = Path(SF_DIR).name
     try:
@@ -118,6 +132,7 @@ def main():
     spark = get_spark(app="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     sf = _sf()
+    probe = cpu_probe_ms()
     out = run_headline(spark, sf)
     total = round(sum(out["times"].values()), 3)
     print(
@@ -131,6 +146,7 @@ def main():
                 "cpus": CPUS,
                 "n_images": out["n_images"],
                 "pip_rows_per_sec": out["extra"]["pip_rows_per_sec"],
+                "cpu_probe_ms": probe,
             }
         )
     )

@@ -345,6 +345,30 @@ def q12_lang_id(spark, sf_dir):
     return textstats.with_lang_id(d).select("doc_id", "lang_pred")
 
 
+# mirrors with_lang_id exactly: stopword hits per language, winner by
+# (hits, lang) descending — ties resolve to the lexicographically larger
+# language code, matching Spark's sort_array(desc) on struct(hits, lang)
+Q12_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), hits AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(
+      ['the','a','of','and','to','in','is','it','that','for'], x))) AS h_en,
+    len(list_filter(t, x -> list_contains(
+      ['el','la','de','y','que','en','un','una','es','por'], x))) AS h_es,
+    len(list_filter(t, x -> list_contains(
+      ['der','die','das','und','ist','ein','eine','zu','den','von'], x))) AS h_de
+  FROM toks)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_es, h_de) = 0 THEN 'unknown'
+       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM hits
+"""
+
+
 def q13_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -626,6 +650,54 @@ def q26_pip_polygons(spark, sf_dir):
     ).withColumn("image_id", F.col("point_id"))
     polys = {k: v for k, v in POLYGONS.items() if v[2] == 9}
     return pip_count(spark, pts, polys, prune_partitions=False).orderBy("polygon_id")
+
+
+def _ring_crossings_sql(ring) -> str:
+    """Even-odd ray-cast crossing count as a constant-edge SQL sum,
+    mirroring regions.points_in_ring bit-for-bit: same straddle test,
+    same x-intercept float formula, coordinates as e-notation double
+    literals (the repo's cross-engine float convention)."""
+    import numpy as np
+
+    from .h3core.regions import _close_ring
+
+    r = _close_ring(np.asarray(ring, dtype=np.float64))
+    terms = []
+    for (x0, y0), (x1, y1) in zip(r[:-1], r[1:]):
+        if y0 == y1:
+            continue  # straddle is always false; division guard unneeded
+        e = (
+            f"(CASE WHEN ((({y0!r}e0) <= lat) != (({y1!r}e0) <= lat)) AND "
+            f"(lng < ({x0!r}e0) + (lat - ({y0!r}e0)) / (({y1!r}e0) - ({y0!r}e0))"
+            f" * (({x1!r}e0) - ({x0!r}e0))) THEN 1 ELSE 0 END)"
+        )
+        terms.append(e)
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pip_inside_sql(ext, holes) -> str:
+    cond = f"({_ring_crossings_sql(ext)} % 2 = 1)"
+    for h in holes or []:
+        cond += f" AND NOT ({_ring_crossings_sql(h)} % 2 = 1)"
+    return cond
+
+
+def _q26_sql() -> str:
+    lat = lat_sql("o_orderkey")
+    lng = lng_sql("o_orderkey")
+    selects = []
+    for pid, (ext, holes, res) in sorted(POLYGONS.items()):
+        if res != 9:
+            continue
+        selects.append(
+            f"SELECT '{pid}' AS polygon_id, COUNT(*) AS n_images "
+            f"FROM pts WHERE {_pip_inside_sql(ext, holes)}"
+        )
+    return (
+        f"WITH pts AS (SELECT {lat} AS lat, {lng} AS lng FROM orders)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY polygon_id"
+    )
 
 
 def q27_polygon_cover(spark, sf_dir):
@@ -936,7 +1008,7 @@ def catalog():
         "q09_dedup_exact": (q09_dedup_exact, Q09_SQL),
         "q10_token_stats": (q10_token_stats, Q10_SQL),
         "q11_quality_scores": (q11_quality_scores, Q11_SQL),
-        "q12_lang_id": (q12_lang_id, None),
+        "q12_lang_id": (q12_lang_id, Q12_SQL),
         "q13_fingerprints": (q13_fingerprints, None),
         "q14_minhash_pairs": (q14_minhash_pairs, None),
         "q15_simhash_pairs": (q15_simhash_pairs, None),
@@ -950,7 +1022,7 @@ def catalog():
         "q23_h3_cell_density": (q23_h3_cell_density, Q23_SQL),
         "q24_h3_kring": (q24_h3_kring, Q24_SQL),
         "q25_h3_parent_rollup": (q25_h3_parent_rollup, Q25_SQL),
-        "q26_pip_polygons": (q26_pip_polygons, None),
+        "q26_pip_polygons": (q26_pip_polygons, _q26_sql()),
         "q27_polygon_cover": (q27_polygon_cover, None),
         "q28_boundary_verts": (q28_boundary_verts, None),
         "q29_knn": (q29_knn, _q29_sql()),
