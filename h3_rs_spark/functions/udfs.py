@@ -132,6 +132,17 @@ def h3_to_children_udf(child_res: int):
     return _f
 
 
+@F.pandas_udf(ArrayType(LongType()))
+def h3_line_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Minimal grid path per pair (H3 h3Line; local-frame cube lerp with
+    greedy fallback — see h3core.localij)."""
+    av = a.to_numpy(dtype=np.int64)
+    bv = b.to_numpy(dtype=np.int64)
+    return pd.Series(
+        [traversal.h3_line(int(x), int(y)).tolist() for x, y in zip(av, bv)]
+    )
+
+
 @F.pandas_udf(IntegerType())
 def h3_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     from ..h3core.localij import h3_distance_batch

@@ -32,7 +32,6 @@ from .coordijk import (
     UNIT_VECS,
     down_ap3,
     down_ap3r,
-    down_ap7,
     down_ap7r,
     hex2d_to_ijk,
     ijk_normalize,
@@ -241,13 +240,29 @@ def _h3_to_face_ijk(h: np.ndarray):
     # their home face (H3 _h3ToFaceIjkWithInitializedFijk)
     possible = pent | ((res > 0) & (BASE_CELL_IJK[bc] != 0).any(axis=1))
 
+    # digit descent in axial (i-k, j-k) integers: the aperture-7 down
+    # maps are 2x2 there (down_ap7 = [[2,1],[-1,3]], down_ap7r =
+    # [[3,-1],[1,2]]) and normalization is a no-op — half the array work
+    # of the (N,3) cube form (same trick as encode's _extract_digits)
     max_r = int(res.max()) if res.size else 0
+    a = ijk[:, 0] - ijk[:, 2]
+    b = ijk[:, 1] - ijk[:, 2]
+    ua = UNIT_VECS[:, 0] - UNIT_VECS[:, 2]
+    ub = UNIT_VECS[:, 1] - UNIT_VECS[:, 2]
     for r in range(1, max_r + 1):
         active = res >= r
-        stepped = down_ap7(ijk) if r % 2 == 1 else down_ap7r(ijk)
+        if r % 2 == 1:
+            a2, b2 = 2 * a + b, -a + 3 * b
+        else:
+            a2, b2 = 3 * a - b, a + 2 * b
         d = np.where(active, digits[:, r - 1].astype(np.int64), 0)
-        stepped = ijk_normalize(stepped + UNIT_VECS[d])
-        ijk = np.where(active[:, None], stepped, ijk)
+        a2 = a2 + ua[d]
+        b2 = b2 + ub[d]
+        a = np.where(active, a2, a)
+        b = np.where(active, b2, b)
+    z = np.zeros_like(a)
+    m = np.minimum(np.minimum(a, b), z)
+    ijk = np.stack([a - m, b - m, z - m], axis=-1)
 
     orig_ijk = ijk.copy()
     class3 = res % 2 == 1

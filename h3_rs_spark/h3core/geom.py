@@ -52,15 +52,6 @@ def constrain_lng(lng: np.ndarray) -> np.ndarray:
     return out
 
 
-def geo_azimuth(lat1, lng1, lat2, lng2) -> np.ndarray:
-    """Bearing (clockwise from north) from point 1 to point 2."""
-    return np.arctan2(
-        np.cos(lat2) * np.sin(lng2 - lng1),
-        np.cos(lat1) * np.sin(lat2)
-        - np.sin(lat1) * np.cos(lat2) * np.cos(lng2 - lng1),
-    )
-
-
 def geo_az_distance(lat1, lng1, az, r):
     """Point at bearing `az` and angular distance `r` from (lat1, lng1).
 
@@ -121,25 +112,72 @@ def nearest_face(lat: np.ndarray, lng: np.ndarray):
     return face.astype(np.int64), sqd
 
 
+_FACE_TRIG = None
+
+
+def _face_trig():
+    """Per-face constants for the fused encode: (cos lng, sin lng,
+    cos lat, sin lat) of the face center and (cos, sin) of the i-axis
+    azimuth for Class II and Class III grids."""
+    global _FACE_TRIG
+    if _FACE_TRIG is None:
+        flat = FACE_CENTER_GEO[:, 0]
+        flng = FACE_CENTER_GEO[:, 1]
+        ax2 = FACE_AXES_AZ_RADS_CII[:, 0]
+        ax3 = ax2 - M_AP7_ROT_RADS
+        _FACE_TRIG = (
+            np.cos(flng),
+            np.sin(flng),
+            np.cos(flat),
+            np.sin(flat),
+            (np.cos(ax2), np.sin(ax2)),
+            (np.cos(ax3), np.sin(ax3)),
+        )
+    return _FACE_TRIG
+
+
 def geo_to_hex2d(lat: np.ndarray, lng: np.ndarray, res: int):
-    """Geo point -> (face, hex2d vector) at resolution `res`."""
-    face, sqd = nearest_face(lat, lng)
-    r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))
+    """Geo point -> (face, hex2d vector) at resolution `res`.
 
-    flat = FACE_CENTER_GEO[face, 0]
-    flng = FACE_CENTER_GEO[face, 1]
-    az = geo_azimuth(flat, flng, lat, lng)
-    theta = pos_angle(FACE_AXES_AZ_RADS_CII[face, 0] - pos_angle(az))
-    if res % 2 == 1:  # Class III
-        theta = pos_angle(theta - M_AP7_ROT_RADS)
+    Fused form of the H3 _geoToHex2d chain: the azimuth sin/cos come
+    straight from the point's xyz plus per-face constants (no second
+    round of point trig), tan(arccos(u)) collapses to sqrt(1-u^2)/u,
+    and theta = faceAxis - azimuth expands through angle-difference
+    identities — no arctan2/cos/sin in the hot path at all.
+    """
+    xyz = geo_to_xyz(lat, lng)
+    dots = xyz @ face_center_xyz().T  # (..., 20)
+    face = np.argmax(dots, axis=-1).astype(np.int64)
+    u = np.clip(np.take_along_axis(dots, face[..., None], axis=-1)[..., 0], -1.0, 1.0)
 
-    rt = np.tan(r)
+    c1, s1, cphi, sphi, ax2, ax3 = _face_trig()
+    x2, y2, z2 = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    c1f, s1f = c1[face], s1[face]
+    # azimuth (face center -> point), as sin/cos up to a common positive
+    # scale: numer = cos(lat2) sin(lng2-lng1), denom = cos(lat1) sin(lat2)
+    # - sin(lat1) cos(lat2) cos(lng2-lng1) — all linear in the point xyz
+    az_sin = y2 * c1f - x2 * s1f
+    az_cos = cphi[face] * z2 - sphi[face] * (x2 * c1f + y2 * s1f)
+    h = np.sqrt(az_sin * az_sin + az_cos * az_cos)
+    h = np.where(h == 0.0, 1.0, h)
+    az_sin = az_sin / h
+    az_cos = az_cos / h
+
+    # theta = faceAxis - az: angle-difference expansion
+    axc, axs = (ax3 if res % 2 == 1 else ax2)
+    cos_t = axc[face] * az_cos + axs[face] * az_sin
+    sin_t = axs[face] * az_cos - axc[face] * az_sin
+
+    # rt = tan(arccos(u)) / u0 * sqrt7^res, with tan(acos(u)) = sqrt(1-u^2)/u
+    safe_u = np.where(u == 0.0, 1.0, u)
+    rt = np.sqrt(np.maximum(0.0, 1.0 - u * u)) / safe_u
     rt = rt / RES0_U_GNOMONIC
     rt = rt * M_SQRT7 ** res
 
-    v = np.stack([rt * np.cos(theta), rt * np.sin(theta)], axis=-1)
-    # at the exact face center tan/azimuth are degenerate -> origin
-    v = np.where((r < EPSILON)[..., None], 0.0, v)
+    v = np.stack([rt * cos_t, rt * sin_t], axis=-1)
+    # at the exact face center the azimuth is degenerate -> origin
+    # (r < EPSILON  <=>  1 - u^2 < sin(EPSILON)^2 ~= EPSILON^2)
+    v = np.where((1.0 - u * u < EPSILON * EPSILON)[..., None], 0.0, v)
     return face, v
 
 

@@ -12,9 +12,10 @@ compact/uncompact golden, src/hierarchy.rs:145-148 — Sydney @Z9 > 10,
 null-island box @Z4 > 10); the empty-hole-ring rule (src/raw.rs:122-125)
 and implicit ring auto-closing (src/raw.rs:178-179) are honored.
 
-Known limitation (documented): polygons spanning the antimeridian or
-containing a pole are not supported by the bbox scan (none of the
-reference's fixtures do).
+Antimeridian-crossing polygons are supported (detected by a >180 deg
+longitude jump; scan and ray cast shift into the [0,360) domain).
+Known limitation (documented): polygons CONTAINING a pole are not
+supported by the bbox scan (none of the reference's fixtures are).
 """
 
 from __future__ import annotations
@@ -56,12 +57,30 @@ def points_in_ring(lng: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.nda
     return crossings % 2 == 1
 
 
+def _is_transmeridian(ring: np.ndarray) -> bool:
+    """A ring edge jumping > 180 deg of longitude crosses the
+    antimeridian (H3 bboxFromGeofence transmeridian test)."""
+    return bool((np.abs(np.diff(ring[:, 0])) > 180.0).any())
+
+
+def _shift_lng(lng: np.ndarray) -> np.ndarray:
+    return np.where(lng < 0.0, lng + 360.0, lng)
+
+
 def points_in_polygon(
     lng: np.ndarray, lat: np.ndarray, exterior: np.ndarray, holes=None
 ) -> np.ndarray:
     ext = _close_ring(exterior)
+    hls = _clean_holes(holes)
+    if _is_transmeridian(ext):
+        # shift polygon and points into the [0, 360) longitude domain so
+        # the planar ray cast never sees the +-180 seam
+        ext = ext.copy()
+        ext[:, 0] = _shift_lng(ext[:, 0])
+        hls = [np.column_stack([_shift_lng(h[:, 0]), h[:, 1]]) for h in hls]
+        lng = _shift_lng(np.asarray(lng, dtype=np.float64))
     inside = points_in_ring(lng, lat, ext)
-    for hole in _clean_holes(holes):
+    for hole in hls:
         inside &= ~points_in_ring(lng, lat, hole)
     return inside
 
@@ -71,6 +90,9 @@ def ring_area_m2(ring, radius_m: float = EARTH_RADIUS_KM * 1000.0) -> float:
     area = R^2/2 * |sum (lng2-lng1)(2 + sin lat1 + sin lat2)| — the
     standard spherical-excess approximation for geographic polygons)."""
     r = _close_ring(np.asarray(ring, dtype=np.float64))
+    if _is_transmeridian(r):
+        r = r.copy()
+        r[:, 0] = _shift_lng(r[:, 0])
     lng = np.radians(r[:, 0])
     lat = np.radians(r[:, 1])
     s = np.sum((lng[1:] - lng[:-1]) * (2.0 + np.sin(lat[:-1]) + np.sin(lat[1:])))
@@ -83,7 +105,13 @@ MAX_POLYFILL_CELLS = 5_000_000
 def _bbox_scan_cells(ext: np.ndarray, res: int) -> np.ndarray:
     """All cells whose centroid can lie in the (padded) bbox: lat/lng
     lattice scan at sub-inradius spacing, encoded and deduped. Raises
-    when the scan would exceed MAX_POLYFILL_CELLS candidates."""
+    when the scan would exceed MAX_POLYFILL_CELLS candidates.
+    Transmeridian rings scan in the [0, 360) longitude domain (the
+    lattice longitudes may exceed 180; geo_to_h3 wraps them exactly —
+    test_world_wrapping)."""
+    if _is_transmeridian(ext):
+        ext = ext.copy()
+        ext[:, 0] = _shift_lng(ext[:, 0])
     lng_min, lat_min = ext.min(axis=0)
     lng_max, lat_max = ext.max(axis=0)
 
@@ -223,30 +251,58 @@ def cells_to_multipolygon(cells: np.ndarray):
             und = (a, b) if a <= b else (b, a)
             edge_count[und] = edge_count.get(und, 0) + 1
 
-    boundary = {}
+    # directed boundary edges; a PINCH vertex (two cells touching only at
+    # a vertex) has multiple outgoing edges, so walk edge-by-edge and at
+    # junctions take the sharpest clockwise turn — that keeps each lobe
+    # of a bowtie a separate simple ring instead of a self-crossing one
+    out_edges: dict[tuple, list] = {}
+    unused = set()
     for a, b in edges:
         und = (a, b) if a <= b else (b, a)
         if edge_count[und] == 1:
-            boundary[a] = b  # each boundary vertex has exactly one successor
+            out_edges.setdefault(a, []).append(b)
+            unused.add((a, b))
+
+    def _bearing(frm, to):
+        # planar bearing with latitude-scaled longitude (adequate for
+        # choosing among 2-3 candidate edges at one vertex)
+        dlat = to[0] - frm[0]
+        dlng = (to[1] - frm[1]) * np.cos(np.radians(frm[0]))
+        return np.arctan2(dlat, dlng)
 
     rings = []
-    visited = set()
-    for start in list(boundary):
-        if start in visited:
-            continue
+    while unused:
+        start, cur = next(iter(unused))
+        unused.discard((start, cur))
         ring = [start]
-        visited.add(start)
-        cur = boundary[start]
-        guard = len(boundary) + 1
+        prev = start
+        guard = len(edges) + 1
         while cur != start and guard > 0:
             ring.append(cur)
-            visited.add(cur)
-            cur = boundary[cur]
+            cands = [b for b in out_edges.get(cur, []) if (cur, b) in unused]
+            if not cands:
+                raise RuntimeError(
+                    "cells_to_multipolygon: unclosed ring "
+                    "(vertex-rounding split)"
+                )
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                back = _bearing(cur, prev)
+                # sharpest clockwise turn from the reversed incoming
+                # direction: maximal angle measured clockwise from back
+                def cw_turn(b):
+                    return float(
+                        np.mod(back - _bearing(cur, b), 2.0 * np.pi)
+                    )
+                nxt = max(cands, key=cw_turn)
+            unused.discard((cur, nxt))
+            prev, cur = cur, nxt
             guard -= 1
         if guard <= 0:
             raise RuntimeError(
-                "cells_to_multipolygon: unclosed ring (pinched cell set "
-                "or vertex-rounding split)"
+                "cells_to_multipolygon: unclosed ring (walk did not "
+                "terminate)"
             )
         rings.append([(lng, lat) for lat, lng in ring])
     return rings

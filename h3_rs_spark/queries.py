@@ -994,6 +994,60 @@ Q37_SQL = (
 )
 
 
+def q38_h3_line_distance(spark, sf_dir):
+    """Grid distance + minimal line over derived point pairs (reference
+    h3Distance/h3Line surface, src/traversal.rs:90-123): pair each of
+    200 derived points with the next one in the same metro bucket and
+    check the gridPathCells contract — every line has exactly
+    distance+1 cells, starts at the origin and ends at the target.
+    Distances come from the O(1) local-frame path (localij.py)."""
+    from pyspark.sql import Window
+
+    from .functions.udfs import h3_distance_udf, h3_line_udf
+
+    # metro buckets only ((k % 20) < 13): same-bucket pairs sit within
+    # one metro's ~0.2 deg jitter, so grid distances stay bounded (~40
+    # cells at res 7); world-bucket pairs would be thousands of cells
+    # apart and line materialization is O(distance)
+    pts = derived_points(spark, sf_dir).where(
+        (F.col("point_id") <= 200) & (F.col("point_id") % 20 < 13)
+    )
+    cells = pts.withColumn("cell", geo_to_h3_udf(7)("lat", "lng"))
+    w = Window.partitionBy(F.col("point_id") % 20).orderBy("point_id")
+    pairs = (
+        cells.withColumn("cell_b", F.lag("cell").over(w))
+        .where(F.col("cell_b").isNotNull() & (F.col("cell") != F.col("cell_b")))
+        .select("point_id", "cell", "cell_b")
+    )
+    checked = (
+        pairs.withColumn("d", h3_distance_udf("cell", "cell_b"))
+        .withColumn("line", h3_line_udf("cell", "cell_b"))
+        .withColumn(
+            "line_ok",
+            (F.size("line") == F.col("d") + 1)
+            & (F.element_at("line", 1) == F.col("cell"))
+            & (F.element_at("line", -1) == F.col("cell_b")),
+        )
+    )
+    agg = checked.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("line_ok").cast("long")).alias("n_ok"),
+        F.sum((F.col("d") >= 0).cast("long")).alias("n_reachable"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_ok"] == agg["n_pairs"]),
+                int(agg["n_reachable"] == agg["n_pairs"]),
+            )
+        ],
+        "lines_minimal long, all_reachable long",
+    )
+
+
+Q38_SQL = "SELECT 1 AS lines_minimal, 1 AS all_reachable"
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1037,4 +1091,5 @@ def catalog():
         "q35_video_frame_sample": (q35_video_frame_sample, None),
         "q36_compact_distributed": (q36_compact_distributed, Q36_SQL),
         "q37_polyfill_distributed": (q37_polyfill_distributed, Q37_SQL),
+        "q38_h3_line_distance": (q38_h3_line_distance, Q38_SQL),
     }

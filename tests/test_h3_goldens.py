@@ -590,3 +590,64 @@ class TestLocalFrame:
         for b in ring[:6]:
             path = tv.h3_line(a, int(b))
             assert len(path) == tv.h3_distance(a, int(b)) + 1
+
+
+class TestTransmeridian:
+    """Antimeridian-crossing polygons (beyond the reference's fixtures —
+    H3's own polyfill handles these; round 1 documented them as a bbox
+    limitation, closed in round 2 by shifting into the [0,360) domain)."""
+
+    BOX = [(179.0, -1.0), (-179.0, -1.0), (-179.0, 1.0), (179.0, 1.0)]
+
+    def test_pip_across_seam(self):
+        from h3_rs_spark.h3core import regions
+
+        inside = regions.points_in_polygon(
+            np.array([179.9, -179.9, 178.0, 0.0]),
+            np.array([0.0, 0.0, 0.0, 0.0]),
+            self.BOX,
+        )
+        assert inside.tolist() == [True, True, False, False]
+
+    def test_polyfill_straddles_seam(self):
+        from h3_rs_spark.h3core import regions
+
+        cells = regions.polyfill(self.BOX, [], 5)
+        clat, clng = h3.h3_to_geo(cells)
+        assert (clng > 100).any() and (clng < -100).any()
+        # count comparable to the identical box at lng 0 (grid alignment
+        # differs slightly; same latitude band so same cell sizes)
+        ref_box = [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+        ref = regions.polyfill(ref_box, [], 5)
+        assert abs(len(cells) - len(ref)) / len(ref) < 0.1
+        # every returned centroid is truly inside (shifted-domain check)
+        lngs = np.where(clng < 0, clng + 360.0, clng)
+        assert ((lngs >= 179.0) & (lngs <= 181.0)).all()
+        assert ((clat >= -1.0) & (clat <= 1.0)).all()
+
+    def test_ring_area_transmeridian(self):
+        from h3_rs_spark.h3core import regions
+
+        a = regions.ring_area_m2(self.BOX)
+        b = regions.ring_area_m2(
+            [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+        )
+        assert abs(a - b) / b < 1e-9
+
+
+class TestDissolveShapes:
+    def test_annulus_and_islands(self):
+        from h3_rs_spark.h3core import regions
+        from h3_rs_spark.h3core import traversal as tv
+
+        A = 0x8928308280FFFFF
+        _, hollow = tv.hex_ring(np.array([A]), 1)
+        rings = regions.cells_to_multipolygon(hollow)
+        assert sorted(len(r) for r in rings) == [6, 18]  # hole + outer
+        _, disk = tv.k_ring(np.array([A]), 2)
+        far = h3.geo_to_h3(np.array([-33.87]), np.array([151.21]), 9)
+        _, far_disk = tv.k_ring(far, 1)
+        rings = regions.cells_to_multipolygon(
+            np.concatenate([disk, far_disk])
+        )
+        assert sorted(len(r) for r in rings) == [18, 30]
