@@ -79,12 +79,21 @@ def run_headline(spark, sf: float) -> dict:
     n_images = images.count()
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     extra: dict[str, float] = {}
 
     def timed(name, fn):
+        # steady-state measurement: the first run pays one-time session
+        # costs (whole-stage codegen compile, AQE first plan, parquet
+        # footer cache) that are fixed overhead, not throughput — run
+        # once untimed, then time. The cold first-run time is reported
+        # separately as cold_total_sec.
         t0 = time.time()
         fn()
-        times[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        fn()
+        times[name] = round(time.time() - t1, 3)
 
     polys9 = {k: v for k, v in datagen.POLYGONS.items() if v[2] == 9}
 
@@ -121,7 +130,12 @@ def run_headline(spark, sf: float) -> dict:
     ):
         fn, _sql = Q.catalog()[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
-    return {"times": times, "extra": extra, "n_images": n_images}
+    return {
+        "times": times,
+        "cold": cold,
+        "extra": extra,
+        "n_images": n_images,
+    }
 
 
 def main():
@@ -146,6 +160,7 @@ def main():
                 "cpus": CPUS,
                 "n_images": out["n_images"],
                 "pip_rows_per_sec": out["extra"]["pip_rows_per_sec"],
+                "cold_total_sec": round(sum(out["cold"].values()), 3),
                 "cpu_probe_ms": probe,
             }
         )

@@ -67,6 +67,19 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before the Arrow
+    signature UDF: a small parquet table often arrives as ONE partition
+    (sf0.1 documents does), serializing the whole signature pass onto a
+    single core. At scale inputs already have >= cores partitions and
+    this is a no-op — the repartition only fires when the source has
+    fewer splits than the cluster has slots."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _cap_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     """Drop LSH buckets with more than `cap` members before the
     self-join. One hot bucket (boilerplate docs, an all-zeros vector)
@@ -132,6 +145,7 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold)."""
     rows_per_band = num_hashes // bands
+    df = _ensure_parallelism(df)
     # persist signatures: they feed both self-join branches and the
     # verification re-attach — without this the Arrow UDF runs 3x
     sig = df.select(
@@ -216,6 +230,7 @@ def simhash_dedup(
     chunks (a pair within hamming<=3 shares at least one exact chunk;
     wider distances may need more bands — standard recall/cost tradeoff,
     verified exactly afterwards)."""
+    df = _ensure_parallelism(df)
     sim = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
     ).persist()
@@ -322,6 +337,7 @@ def embedding_near_dup(
         vals = vals + (np.arange(bands) << planes_per_band)
         return pd.Series([row.astype(np.int64).tolist() for row in vals])
 
+    df = _ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -74,9 +74,10 @@ def knn_join(
     estimate.
     """
     q_pdf = queries.select("query_id", "lat", "lng").toPandas()
-    return _knn_run(
+    out = _knn_run(
         spark, images, q_pdf, k, res, cell_col, initial_ring, max_ring
     )
+    return spark.createDataFrame(out)
 
 
 def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
@@ -133,81 +134,94 @@ def _knn_run(spark, images, q_pdf, k, res, cell_col, initial_ring, max_ring):
     plans = _initial_plans(
         spark, images, q_pdf, k, res, cell_col, initial_ring
     )
+    state = q_pdf.copy().reset_index(drop=True)
+    state["res_eff"] = [plans[q][0] for q in state["query_id"]]
+    state["ring"] = [plans[q][1] for q in state["query_id"]]
+
     results = []
-    groups = {}
-    for qid, plan in plans.items():
-        groups.setdefault(plan, []).append(qid)
-    for (res_eff0, ring0), qids in groups.items():
-        sub = q_pdf[q_pdf["query_id"].isin(qids)]
-        results.append(
-            _knn_rounds(
-                spark, images, sub, k, res, cell_col, res_eff0, ring0, max_ring
+    while len(state):
+        # per-query resolution escalation for oversized rings
+        while True:
+            m = (state["ring"] > _COARSEN_AT) & (state["res_eff"] > 0)
+            if not m.any():
+                break
+            state.loc[m, "res_eff"] = (state.loc[m, "res_eff"] - 2).clip(lower=0)
+            state.loc[m, "ring"] = (state.loc[m, "ring"] // 7).clip(lower=1)
+
+        # candidate cells per (res_eff, ring) group (driver-side numpy),
+        # ONE probe join per distinct res_eff, ONE Spark job per round:
+        # the per-res_eff matched relations union before the top-k window
+        cand_by_res: dict[int, list] = {}
+        for (re_, rg), grp in state.groupby(["res_eff", "ring"]):
+            q_cells = traversal.fk.geo_to_h3(
+                grp["lat"].to_numpy(), grp["lng"].to_numpy(), int(re_)
             )
-        )
-    out = (
-        pd.concat(results, ignore_index=True)
-        if results
-        else pd.DataFrame(columns=["query_id", "image_id", "dist_m", "rank"])
-    )
-    return spark.createDataFrame(out)
-
-
-def _knn_rounds(
-    spark, images, q_pdf, k, res, cell_col, res_eff, ring, max_ring
-):
-    remaining = q_pdf
-    results = []
-    while len(remaining):
-        # escalate resolution if the ring got large
-        while ring > _COARSEN_AT and res_eff > 0:
-            res_eff = max(0, res_eff - 2)
-            ring = max(1, ring // 7)
-        q_cells = traversal.fk.geo_to_h3(
-            remaining["lat"].to_numpy(), remaining["lng"].to_numpy(), res_eff
-        )
-        owner, cells, _dist = traversal.k_ring_distances(q_cells, ring)
-        cand_pdf = pd.DataFrame(
-            {
-                "query_id": remaining["query_id"].to_numpy()[owner],
-                "q_lat": remaining["lat"].to_numpy()[owner],
-                "q_lng": remaining["lng"].to_numpy()[owner],
-                "cand_cell": cells,
-            }
-        )
-        cand = F.broadcast(spark.createDataFrame(cand_pdf))
-        probe_key = (
-            images[cell_col]
-            if res_eff == res
-            else h3_to_parent_col(images[cell_col], res_eff)
-        )
-        matched = images.join(cand, probe_key == cand["cand_cell"], "inner")
+            owner, cells, _ = traversal.k_ring_distances(q_cells, int(rg))
+            cand_by_res.setdefault(int(re_), []).append(
+                pd.DataFrame(
+                    {
+                        "query_id": grp["query_id"].to_numpy()[owner],
+                        "q_lat": grp["lat"].to_numpy()[owner],
+                        "q_lng": grp["lng"].to_numpy()[owner],
+                        "cand_cell": cells,
+                    }
+                )
+            )
+        parts = []
+        for re_, frames in cand_by_res.items():
+            cand = F.broadcast(
+                spark.createDataFrame(pd.concat(frames, ignore_index=True))
+            )
+            probe_key = (
+                images[cell_col]
+                if re_ == res
+                else h3_to_parent_col(images[cell_col], re_)
+            )
+            parts.append(
+                images.join(cand, probe_key == cand["cand_cell"], "inner")
+                .select("image_id", "lat", "lng", "query_id", "q_lat", "q_lng")
+            )
+        matched = parts[0]
+        for p in parts[1:]:
+            matched = matched.unionByName(p)
         scored = matched.withColumn(
             "dist_m",
-            haversine_m_col(F.col("q_lat"), F.col("q_lng"), F.col("lat"), F.col("lng")),
+            haversine_m_col(
+                F.col("q_lat"), F.col("q_lng"), F.col("lat"), F.col("lng")
+            ),
         )
         w = Window.partitionBy("query_id").orderBy("dist_m", "image_id")
-        # one Spark job per round: the k x |queries| top rows come back to
-        # the driver and all the completion bookkeeping happens in pandas
         topk_pdf = (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "image_id", "dist_m", "rank")
             .toPandas()
         )
+
+        # per-query completion: k hits whose k-th distance is provably
+        # inside the query's OWN ring coverage radius
         stats = topk_pdf.groupby("query_id")["dist_m"].agg(["count", "max"])
-        safe = _guaranteed_radius_m(ring, res_eff)
-        done_ids = set(stats.index[(stats["count"] >= k) & (stats["max"] <= safe)])
-        # effective base-res ring for the max_ring bound
-        eq_base_ring = ring * 7 ** ((res - res_eff) // 2)
-        if eq_base_ring >= max_ring or (res_eff == 0 and ring >= 32):
-            # res-0 ring 32 spans the whole grid: candidates == everything
-            done_ids = set(remaining["query_id"])
+        done = []
+        for row in state.itertuples(index=False):
+            qid = row.query_id
+            safe = _guaranteed_radius_m(int(row.ring), int(row.res_eff))
+            st = stats.loc[qid] if qid in stats.index else None
+            ok = st is not None and st["count"] >= k and st["max"] <= safe
+            eq_base_ring = int(row.ring) * 7 ** ((res - int(row.res_eff)) // 2)
+            exhausted = eq_base_ring >= max_ring or (
+                int(row.res_eff) == 0 and int(row.ring) >= 32
+            )
+            done.append(bool(ok or exhausted))
+        done = np.array(done)
+        done_ids = set(state.loc[done, "query_id"])
         if done_ids:
             results.append(topk_pdf[topk_pdf["query_id"].isin(done_ids)])
-        remaining = remaining[~remaining["query_id"].isin(done_ids)]
-        ring = ring * 4
-    return pd.concat(results, ignore_index=True) if results else pd.DataFrame(
-        columns=["query_id", "image_id", "dist_m", "rank"]
+        state = state[~done].copy()
+        state["ring"] = state["ring"] * 4
+    return (
+        pd.concat(results, ignore_index=True)
+        if results
+        else pd.DataFrame(columns=["query_id", "image_id", "dist_m", "rank"])
     )
 
 
