@@ -75,14 +75,42 @@ def compact_cells_df(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
     return result if result is not None else spark.createDataFrame([], cells.schema)
 
 
+_MAX_EXPLODE_LEVELS = 4  # 7^4 = 2401 children per row per stage
+
+
 def uncompact_cells_df(
     cells: DataFrame, res: int, cell_col: str = "cell"
 ) -> DataFrame:
     """Expand a mixed-res cell relation to uniform `res` (children
-    explode; cells already at `res` pass through)."""
-    at_res = cells.where(h3_resolution(cell_col) == res)
-    coarser = cells.where(h3_resolution(cell_col) < res)
-    expanded = coarser.select(
-        F.explode(h3_to_children_udf(res)(F.col(cell_col))).alias(cell_col)
-    )
-    return at_res.select(cell_col).unionByName(expanded.select(cell_col))
+    explode; cells already at `res` pass through).
+
+    The explode is staged at most 4 resolution levels at a time: a
+    single-stage explode of a res-0 cell to res 9 would materialize a
+    7^9-element array in ONE row's UDF output (gigabytes); staging keeps
+    every intermediate array <= 7^4 elements and lets the engine
+    redistribute rows between stages."""
+    spark = cells.sparkSession
+    out = cells.where(h3_resolution(cell_col) == res).select(cell_col)
+    todo = cells.where(h3_resolution(cell_col) < res).select(cell_col)
+    min_res = todo.agg(F.min(h3_resolution(cell_col))).first()[0]
+    if min_res is None:
+        return out
+    step_res = int(min_res)
+    while step_res < res:
+        step_res = min(res, step_res + _MAX_EXPLODE_LEVELS)
+        # explode rows below the stage target; rows at/above it (but
+        # still below `res`) carry through to the next stage unchanged
+        exp = todo.where(h3_resolution(cell_col) < step_res).select(
+            F.explode(h3_to_children_udf(step_res)(F.col(cell_col))).alias(
+                cell_col
+            )
+        )
+        keep = todo.where(h3_resolution(cell_col) >= step_res)
+        todo = exp.unionByName(keep)
+        if step_res < res:
+            # redistribute between stages so the next fan-out spreads
+            # across the cluster instead of amplifying within one task
+            todo = todo.repartition(
+                max(spark.sparkContext.defaultParallelism, 1)
+            )
+    return out.unionByName(todo)

@@ -478,3 +478,19 @@ class TestChildrenBatch:
             assert sorted(got[o == i].tolist()) == sorted(
                 ix.to_children(c, 9).tolist()
             )
+
+
+def test_uncompact_staged_multilevel(spark):
+    """Staged uncompact (explode <= 4 levels per stage) equals the kernel
+    children set exactly, including mixed input resolutions and a
+    pentagon lineage."""
+    from h3_rs_spark.h3core import indexing as ix
+    from h3_rs_spark.operators.hierarchy_ops import uncompact_cells_df
+
+    cells = [0x8029FFFFFFFFFFF, 0x824887FFFFFFFFF, 0x81083FFFFFFFFFF]
+    df = spark.createDataFrame(pd.DataFrame({"cell": cells}))
+    got = sorted(r[0] for r in uncompact_cells_df(df, 6).collect())
+    want = sorted(
+        np.concatenate([ix.to_children(c, 6) for c in cells]).tolist()
+    )
+    assert got == want
