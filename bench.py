@@ -106,9 +106,12 @@ def run_headline(spark, sf: float) -> dict:
     )
     extra["pip_rows_per_sec"] = round(n_images / times["pip_images"], 1)
 
+    # limit() coalesces to one partition; repartition so the tiling UDF
+    # parallelizes (the operator is measured, not a serial-input artifact)
+    tile_input = images.limit(20_000).repartition(CPUS)
     timed(
         "tile_assign",
-        lambda: tile_assign(images.limit(20_000), tile_px=8, res=15)
+        lambda: tile_assign(tile_input, tile_px=8, res=15)
         .groupBy("cell").count().orderBy(F.desc("count")).limit(10).collect(),
     )
     timed(

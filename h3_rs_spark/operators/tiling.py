@@ -75,45 +75,51 @@ def tile_assign(
     fmt, lat, lng); Catalyst prunes everything else from the scan."""
     cols = ["image_id", "bytes", "w", "h", "fmt", "lat", "lng"]
 
+    def _group_frame(grp: pd.DataFrame, w: int, h: int, fmt: str) -> pd.DataFrame:
+        """Vectorized path for a same-(w, h, fmt) group: one stacked
+        (n, h, w, 3) array, tile means + geo offsets computed across
+        ALL images at once — per-image Python is one frombuffer call."""
+        n_img = len(grp)
+        px = np.stack(
+            [decode_image(b, w, h, fmt) for b in grp["bytes"]]
+        ).astype(np.float64)
+        ny, nx = h // tile_px, w // tile_px
+        trimmed = px[:, : ny * tile_px, : nx * tile_px, :]
+        means = trimmed.reshape(n_img, ny, tile_px, nx, tile_px, 3).mean(
+            axis=(2, 4)
+        )  # (n, ny, nx, 3)
+        ty, tx = np.mgrid[0:ny, 0:nx]
+        cx = ((tx + 0.5) * tile_px - w / 2.0).ravel()
+        cy = ((ty + 0.5) * tile_px - h / 2.0).ravel()
+        n_t = ny * nx
+        lats = (
+            grp["lat"].to_numpy()[:, None] - cy[None, :] * deg_per_px
+        ).ravel()
+        lngs = (
+            grp["lng"].to_numpy()[:, None] + cx[None, :] * deg_per_px
+        ).ravel()
+        cells = faceijk.geo_to_h3(lats, lngs, res)
+        return pd.DataFrame(
+            {
+                "image_id": np.repeat(grp["image_id"].to_numpy(), n_t),
+                "tile_x": np.tile(tx.ravel().astype(np.int32), n_img),
+                "tile_y": np.tile(ty.ravel().astype(np.int32), n_img),
+                "cell": cells,
+                "mean_r": means[..., 0].reshape(-1),
+                "mean_g": means[..., 1].reshape(-1),
+                "mean_b": means[..., 2].reshape(-1),
+            }
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_tx, out_ty, out_cell = [], [], [], []
-            out_r, out_g, out_b = [], [], []
-            lat_list, lng_list = [], []
-            for row in pdf.itertuples(index=False):
-                px = decode_image(row.bytes, row.w, row.h, row.fmt)
-                means = tile_stats(px, tile_px)
-                ny, nx, _ = means.shape
-                ty, tx = np.mgrid[0:ny, 0:nx]
-                # tile center offsets from the image anchor (image spans
-                # w*deg_per_px of longitude, centered on the anchor)
-                cx = (tx + 0.5) * tile_px - row.w / 2.0
-                cy = (ty + 0.5) * tile_px - row.h / 2.0
-                lat_list.append(row.lat - cy.ravel() * deg_per_px)
-                lng_list.append(row.lng + cx.ravel() * deg_per_px)
-                n = ny * nx
-                out_id.extend([row.image_id] * n)
-                out_tx.extend(tx.ravel().tolist())
-                out_ty.extend(ty.ravel().tolist())
-                out_r.extend(means[:, :, 0].ravel().tolist())
-                out_g.extend(means[:, :, 1].ravel().tolist())
-                out_b.extend(means[:, :, 2].ravel().tolist())
-            if not out_id:
+            if not len(pdf):
                 continue
-            lats = np.concatenate(lat_list)
-            lngs = np.concatenate(lng_list)
-            cells = faceijk.geo_to_h3(lats, lngs, res)
-            yield pd.DataFrame(
-                {
-                    "image_id": out_id,
-                    "tile_x": np.array(out_tx, dtype=np.int32),
-                    "tile_y": np.array(out_ty, dtype=np.int32),
-                    "cell": cells,
-                    "mean_r": out_r,
-                    "mean_g": out_g,
-                    "mean_b": out_b,
-                }
-            )
+            outs = [
+                _group_frame(grp, int(w), int(h), fmt)
+                for (w, h, fmt), grp in pdf.groupby(["w", "h", "fmt"])
+            ]
+            yield pd.concat(outs, ignore_index=True)
 
     return images.select(*cols).mapInPandas(run, schema=TILES_SCHEMA)
 
