@@ -91,9 +91,12 @@ def run_headline(spark, sf: float) -> dict:
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        fn()
-        times[name] = round(time.time() - t1, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2 timed reps: VM noise spikes hit
+            t1 = time.time()  # single readings hard (BENCH/BASELINE.md)
+            fn()
+            best = min(best, time.time() - t1)
+        times[name] = round(best, 3)
 
     polys9 = {k: v for k, v in datagen.POLYGONS.items() if v[2] == 9}
 
