@@ -143,6 +143,20 @@ def h3_line_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(BooleanType())
+def h3_local_frame_ok_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """True where the planar local-face frame applies to the pair (same
+    or adjacent icosa face, clear of pentagons) — exactly the rows where
+    h3_line returns the minimal cube-lerp path rather than the greedy
+    fallback."""
+    from ..h3core.localij import local_frames
+
+    ok, _, _, _ = local_frames(
+        a.to_numpy(dtype=np.int64), b.to_numpy(dtype=np.int64)
+    )
+    return pd.Series(ok)
+
+
 @F.pandas_udf(IntegerType())
 def h3_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     from ..h3core.localij import h3_distance_batch

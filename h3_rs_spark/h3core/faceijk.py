@@ -389,7 +389,10 @@ def icosahedron_faces(h) -> list[list[int]]:
     a face and recover the full set)."""
     h = np.atleast_1d(np.asarray(h, dtype=np.int64))
     clat, clng = h3_to_geo(h)
-    blat, blng = h3_to_geo_boundary(h)
+    # true 6 vertices only: the face walk pairs consecutive TRUE
+    # vertices for edge midpoints; interleaved Class-III distortion
+    # vertices (distortion=True) would displace slots past range(6)
+    blat, blng = h3_to_geo_boundary(h, distortion=False)
     out = []
     for i in range(h.shape[0]):
         pts_lat = [clat[i]]

@@ -52,6 +52,17 @@ def constrain_lng(lng: np.ndarray) -> np.ndarray:
     return out
 
 
+def geo_azimuth(lat1, lng1, lat2, lng2) -> np.ndarray:
+    """Bearing (clockwise from north) from point 1 to point 2. Not on
+    the encode hot path (geo_to_hex2d fuses its own azimuth from xyz)
+    but used by tools/generate_tables.py for table derivation."""
+    return np.arctan2(
+        np.cos(lat2) * np.sin(lng2 - lng1),
+        np.cos(lat1) * np.sin(lat2)
+        - np.sin(lat1) * np.cos(lat2) * np.cos(lng2 - lng1),
+    )
+
+
 def geo_az_distance(lat1, lng1, az, r):
     """Point at bearing `az` and angular distance `r` from (lat1, lng1).
 

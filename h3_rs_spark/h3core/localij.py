@@ -60,9 +60,12 @@ def _face_corners_hex2d(work_res: int) -> np.ndarray:
 
 
 def _seg_point_dist(p0, p1, q) -> np.ndarray:
-    """Min distance from points q (3,2) to segments p0->p1 (N,2)."""
+    """Min distance from points q to segments p0->p1 (N,2). q is either
+    a shared (3,2) corner set or a per-row (N,3,2) set."""
+    if q.ndim == 2:
+        q = np.broadcast_to(q, (p0.shape[0],) + q.shape)
     d = p1 - p0  # (N,2)
-    qq = q[None, :, :] - p0[:, None, :]  # (N,3,2)
+    qq = q - p0[:, None, :]  # (N,3,2)
     denom = (d * d).sum(axis=1)[:, None]  # (N,1)
     t = np.clip(
         (qq * d[:, None, :]).sum(axis=2) / np.where(denom == 0, 1.0, denom),
@@ -70,7 +73,7 @@ def _seg_point_dist(p0, p1, q) -> np.ndarray:
         1.0,
     )
     proj = p0[:, None, :] + t[:, :, None] * d[:, None, :]
-    return np.sqrt(((q[None, :, :] - proj) ** 2).sum(axis=2)).min(axis=1)
+    return np.sqrt(((q - proj) ** 2).sum(axis=2)).min(axis=1)
 
 
 def local_frames(a: np.ndarray, b: np.ndarray):
@@ -129,25 +132,21 @@ def local_frames(a: np.ndarray, b: np.ndarray):
         corners = _face_corners_hex2d(int(wr))
         d_own = _seg_point_dist(p0[m], p1[m], corners)
         near = d_own < _PENT_GUARD_CELLS
-        # b-face corners unfolded into a's frame (linear map of corners)
+        # b-face corners unfolded into a's frame: the ijk inverse
+        # transform is x_F = cw^rot(x_N - t), so in hex2d the corner maps
+        # as R(-60deg*rot) @ (corner - hex2d(t)) — translate FIRST, then
+        # rotate (rotating first misplaces corners whenever rot != 0)
         madj = m & adjacent
         if madj.any():
             sub = np.flatnonzero(madj)
-            c = np.broadcast_to(corners, (sub.size, 3, 2)).copy()
-            # corners are hex2d; the unfold acts on ijk — rotate hex2d
-            # by -60*rot and translate by hex2d(-trans)
             th = -np.pi / 3.0 * rot[sub]
             cos, sin = np.cos(th), np.sin(th)
-            tr2d = ijk_to_hex2d(-trans[sub])
-            cx = c[..., 0] * cos[:, None] - c[..., 1] * sin[:, None]
-            cy = c[..., 0] * sin[:, None] + c[..., 1] * cos[:, None]
-            c = np.stack([cx + tr2d[:, None, 0], cy + tr2d[:, None, 1]], axis=-1)
-            dmin = np.array(
-                [
-                    _seg_point_dist(p0[s : s + 1], p1[s : s + 1], c[i])[0]
-                    for i, s in enumerate(sub)
-                ]
-            )
+            tr2d = ijk_to_hex2d(trans[sub])  # (k, 2)
+            shifted = corners[None, :, :] - tr2d[:, None, :]  # (k, 3, 2)
+            cx = shifted[..., 0] * cos[:, None] - shifted[..., 1] * sin[:, None]
+            cy = shifted[..., 0] * sin[:, None] + shifted[..., 1] * cos[:, None]
+            c = np.stack([cx, cy], axis=-1)  # (k, 3, 2)
+            dmin = _seg_point_dist(p0[sub], p1[sub], c)
             near_b = np.zeros(n, dtype=bool)
             near_b[sub] = dmin < _PENT_GUARD_CELLS
             near = near | near_b[m]

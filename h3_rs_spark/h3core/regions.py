@@ -102,6 +102,24 @@ def ring_area_m2(ring, radius_m: float = EARTH_RADIUS_KM * 1000.0) -> float:
 MAX_POLYFILL_CELLS = 5_000_000
 
 
+def bbox_cell_estimate(ext: np.ndarray, res: int) -> float:
+    """Estimated lattice-scan candidate count for a ring's bbox at
+    `res` — the ONE formula both the driver-side scan guard and the
+    distributed-polyfill coarse-res picker use (operators/polyfill_dist),
+    so "fits the driver" always means the same thing."""
+    if _is_transmeridian(ext):
+        ext = ext.copy()
+        ext[:, 0] = _shift_lng(ext[:, 0])
+    lng_min, lat_min = ext.min(axis=0)
+    lng_max, lat_max = ext.max(axis=0)
+    edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
+    return float(
+        (lat_max - lat_min + 5 * edge_deg)
+        * (lng_max - lng_min + 5 * edge_deg)
+        / (0.7 * edge_deg) ** 2
+    )
+
+
 def _bbox_scan_cells(ext: np.ndarray, res: int) -> np.ndarray:
     """All cells whose centroid can lie in the (padded) bbox: lat/lng
     lattice scan at sub-inradius spacing, encoded and deduped. Raises
@@ -116,11 +134,7 @@ def _bbox_scan_cells(ext: np.ndarray, res: int) -> np.ndarray:
     lng_max, lat_max = ext.max(axis=0)
 
     edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
-    est = (
-        (lat_max - lat_min + 5 * edge_deg)
-        * (lng_max - lng_min + 5 * edge_deg)
-        / (0.7 * edge_deg) ** 2
-    )
+    est = bbox_cell_estimate(ext, res)
     if est > MAX_POLYFILL_CELLS * 4:
         raise ValueError(
             f"polyfill: bbox at res {res} implies ~{est:.2e} candidate "

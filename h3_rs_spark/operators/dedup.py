@@ -80,17 +80,40 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def _cap_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
-    """Drop LSH buckets with more than `cap` members before the
-    self-join. One hot bucket (boilerplate docs, an all-zeros vector)
-    generates O(cap²) pairs inside a single task — unbounded, that is
-    the quadratic blow-up that kills banded LSH at scale. Bucket counts
-    are a partial-agg'd groupBy on the narrow key columns; members of a
-    dropped bucket still pair through their other bands."""
+def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from LSH buckets.
+
+    Buckets with <= cap members pair all-vs-all within the bucket. A
+    HOT bucket (boilerplate docs, an all-zeros vector) would generate
+    O(members^2) pairs inside one task — the quadratic blow-up that
+    kills banded LSH at scale — so over-cap buckets STAR-pair instead:
+    every member pairs with the bucket's min-id representative. Linear
+    in the hot-bucket size, and exact duplicates (which share EVERY
+    band's bucket, so no other band rescues them) still reach the
+    verification stage connected through the representative. Bucket
+    counts are a partial-agg'd groupBy on the narrow key columns."""
     if not cap:
-        return banded
-    counts = banded.groupBy(*keys).agg(F.count("*").alias("_bc"))
-    return banded.join(counts.where(F.col("_bc") <= cap), keys).drop("_bc")
+        counted = banded.withColumn("_bc", F.lit(0))
+        cap = 1 << 62
+    else:
+        counts = banded.groupBy(*keys).agg(F.count("*").alias("_bc"))
+        counted = banded.join(counts, keys)
+    normal = counted.where(F.col("_bc") <= cap).drop("_bc")
+    a, b = normal.alias("a"), normal.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    hot = counted.where(F.col("_bc") > cap).drop("_bc")
+    anchors = hot.groupBy(*keys).agg(F.min("id").alias("_anchor"))
+    star = (
+        hot.join(anchors, keys)
+        .where(F.col("id") != F.col("_anchor"))
+        .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return pairs.unionByName(star).dropDuplicates(["id_a", "id_b"])
 
 
 _MINHASH_A = None
@@ -166,20 +189,7 @@ def minhash_lsh_dedup(
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
     # re-attach the wide signature arrays with plain shuffle joins on id:
     # never F.broadcast(sig) — the signature relation is proportional to
     # the FULL corpus and a forced broadcast OOMs at scale. AQE still
@@ -245,17 +255,8 @@ def simhash_dedup(
     banded = sim.select("id", F.explode(F.array(*chunks)).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
     )
-    banded = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
-    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
         # shuffle-join re-attach (see minhash_lsh_dedup): no forced
         # broadcast of the corpus-sized simhash relation
         .join(sim.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -345,8 +346,6 @@ def embedding_near_dup(
     ).persist()
     base.count()  # eager: see minhash_lsh_dedup
     banded = base.select("id", F.explode("buckets").alias("bucket"))
-    banded = _cap_buckets(banded, ["bucket"], bucket_cap)
-    a, b = banded.alias("a"), banded.alias("b")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
@@ -359,12 +358,7 @@ def embedding_near_dup(
     )
     vecs = base.select("id", "v")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        _bucket_pairs(banded, ["bucket"], bucket_cap)
         # shuffle-join re-attach (see minhash_lsh_dedup): no forced
         # broadcast of the corpus-sized vector relation
         .join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")

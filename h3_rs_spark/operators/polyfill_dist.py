@@ -32,7 +32,6 @@ from pyspark.sql.types import BooleanType
 
 from ..h3core import faceijk as fk
 from ..h3core import regions
-from ..h3core.constants import EARTH_RADIUS_KM, EDGE_LENGTH_M
 from ..h3core.traversal import neighbors as _neighbors
 from .hierarchy_ops import uncompact_cells_df
 
@@ -41,22 +40,12 @@ from .hierarchy_ops import uncompact_cells_df
 _COARSE_CAP = 60_000
 
 
-def _bbox_cell_estimate(ext: np.ndarray, res: int) -> float:
-    lng_min, lat_min = ext.min(axis=0)
-    lng_max, lat_max = ext.max(axis=0)
-    edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
-    return float(
-        (lat_max - lat_min + 5 * edge_deg)
-        * (lng_max - lng_min + 5 * edge_deg)
-        / (0.7 * edge_deg) ** 2
-    )
-
-
 def pick_coarse_res(exterior, res: int, cap: int = _COARSE_CAP) -> int:
-    """Finest res whose bbox scan fits the driver cap."""
+    """Finest res whose bbox scan fits the driver cap (shares the exact
+    scan-estimate formula with regions._bbox_scan_cells)."""
     ext = regions._close_ring(np.asarray(exterior, dtype=np.float64))
     for r in range(res, -1, -1):
-        if _bbox_cell_estimate(ext, r) <= cap:
+        if regions.bbox_cell_estimate(ext, r) <= cap:
             return r
     return 0
 

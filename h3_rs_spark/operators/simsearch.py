@@ -34,6 +34,23 @@ def _norm(c):
     )
 
 
+def _rank_topk(joined, k: int, id_col: str):
+    """Shared top-k ranking: rank by the UNROUNDED cosine (ties by id),
+    report the score at 4 dp — the same ulp-tie rule as cosine_topk
+    (ranking on a rounded value lets the last ulp decide the cut)."""
+    scored = joined.withColumn(
+        "_cos_raw",
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos_raw"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("_cos_raw", 4))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -157,18 +174,7 @@ def ivf_topk_indexed(
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col("q_vec").cast("array<double>").alias("qv"),
     )
-    scored = joined.withColumn(
-        "cos_sim",
-        F.round(
-            _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rank")
-    )
+    return _rank_topk(joined, k, id_col)
 
 
 def ivf_topk(
@@ -206,12 +212,4 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col("q_vec").cast("array<double>").alias("qv"),
     )
-    scored = joined.withColumn(
-        "cos_sim", F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim", "rank")
-    )
+    return _rank_topk(joined, k, id_col)

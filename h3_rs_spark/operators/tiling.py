@@ -117,7 +117,11 @@ def tile_assign(
                 continue
             outs = [
                 _group_frame(grp, int(w), int(h), fmt)
-                for (w, h, fmt), grp in pdf.groupby(["w", "h", "fmt"])
+                # dropna=False: a row with null w/h/fmt must fail loudly
+                # in decode_image, not silently vanish from the output
+                for (w, h, fmt), grp in pdf.groupby(
+                    ["w", "h", "fmt"], dropna=False
+                )
             ]
             yield pd.concat(outs, ignore_index=True)
 

@@ -651,3 +651,36 @@ class TestDissolveShapes:
             np.concatenate([disk, far_disk])
         )
         assert sorted(len(r) for r in rings) == [18, 30]
+
+
+class TestLocalFramePentagonRegion:
+    def test_distance_near_pentagons_matches_bfs(self):
+        """Exhaustive BFS comparison for pairs AROUND pentagon homes —
+        the region where a misplaced corner guard (the round-2 unfold
+        ordering bug: rotate-then-translate instead of translate-then-
+        rotate) would let wrong planar distances through."""
+        from h3_rs_spark.h3core import indexing, traversal as tv
+        from h3_rs_spark.h3core.constants import BASE_CELL_IS_PENTAGON
+        from h3_rs_spark.h3core.localij import h3_distance_batch
+
+        pent_bc = np.flatnonzero(BASE_CELL_IS_PENTAGON)[:4]
+        rng = np.random.default_rng(9)
+        checked = 0
+        for bc in pent_bc:
+            pent = int(
+                indexing.from_components(
+                    np.array([bc]), np.array([3]),
+                    np.zeros((1, 15), dtype=np.int64),
+                )[0]
+            )
+            _, disk = tv.k_ring(np.array([pent]), 3)
+            picks = rng.choice(disk, size=min(12, len(disk)), replace=False)
+            for i, a in enumerate(picks):
+                for b in picks[i + 1 :][:4]:
+                    want = tv.h3_distance_bfs(int(a), int(b))
+                    got = int(
+                        h3_distance_batch(np.array([a]), np.array([b]))[0]
+                    )
+                    assert got == want, (hex(int(a)), hex(int(b)), got, want)
+                    checked += 1
+        assert checked > 100

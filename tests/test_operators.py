@@ -394,9 +394,10 @@ class TestDedupScale:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
-    def test_bucket_cap_bounds_hot_bucket(self, spark):
-        """With a hot bucket (identical docs) above the cap, the capped
-        pipeline must not emit its quadratic pairs; distinct docs in
+    def test_bucket_cap_star_pairs_hot_bucket(self, spark):
+        """A hot bucket (identical docs) above the cap star-pairs to its
+        min-id representative — linear pairs instead of quadratic, and
+        the exact duplicates still reach verification; distinct docs in
         small buckets are unaffected."""
         import pandas as pd
 
@@ -410,10 +411,12 @@ class TestDedupScale:
         capped = dedup.minhash_lsh_dedup(
             docs, jaccard_threshold=0.3, bucket_cap=10
         ).toPandas()
-        # the 30-copy hot bucket (435 pairs) is dropped everywhere...
-        assert not ((capped.id_a < 30) & (capped.id_b < 30)).any()
-        # ...but the small-bucket near-dup pair survives
         got = {tuple(sorted((a, b))) for a, b in zip(capped.id_a, capped.id_b)}
+        # every hot-bucket member pairs with the representative (id 0)...
+        assert {(0, j) for j in range(1, 30)} <= got
+        # ...quadratic non-anchor pairs are NOT generated...
+        assert not ((capped.id_a > 0) & (capped.id_a < 30) & (capped.id_b < 30)).any()
+        # ...and the small-bucket near-dup pair survives
         assert (30, 31) in got
 
     def test_short_text_hash_deterministic(self):
