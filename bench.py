@@ -144,7 +144,53 @@ def run_headline(spark, sf: float) -> dict:
     }
 
 
+def scaling_cluster_main():
+    """True multi-executor N-vs-4N scaling: Spark local-cluster mode
+    spawns SEPARATE executor JVMs (own heap, GC, python worker pool,
+    loopback shuffle) — 1 executor x 8 cores vs 4 executors x 8 cores,
+    each level taskset-pinned to its core budget. Per-executor resources
+    are constant across levels (12 GiB), exactly how a real cluster
+    scales out."""
+    passes = int(os.environ.get("BENCH_SCALING_PASSES", "3"))
+    best: dict[int, dict] = {}
+    for _ in range(passes):
+        for n_exec in (1, 4):
+            cpus = 8 * n_exec
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cpus)
+            env["BENCH_MASTER"] = f"local-cluster[{n_exec},8,12288]"
+            p = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
+                 "--pip-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if n_exec not in best or r["pip_sec"] < best[n_exec]["pip_sec"]:
+                best[n_exec] = r
+    r1, r4 = best[1], best[4]
+    eff = (r1["pip_sec"] / r4["pip_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_1_to_4_executors",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "rows_per_sec_1x8": r1["rows_per_sec"],
+                "rows_per_sec_4x8": r4["rows_per_sec"],
+                "pip_sec_1x8": r1["pip_sec"],
+                "pip_sec_4x8": r4["pip_sec"],
+                "n_images": r1["n_images"],
+                "passes": passes,
+                "sf": _sf(),
+            }
+        )
+    )
+
+
 def main():
+    if "--scaling-cluster" in sys.argv:
+        return scaling_cluster_main()
     if "--scaling" in sys.argv:
         return scaling_main()
     from h3_rs_spark.session import get_spark
@@ -237,7 +283,8 @@ def pip_only():
     from h3_rs_spark.session import get_spark
     from h3_rs_spark.sources import datagen, io
 
-    spark = get_spark(app="bench-pip", master=f"local[{CPUS}]")
+    master = os.environ.get("BENCH_MASTER", f"local[{CPUS}]")
+    spark = get_spark(app="bench-pip", master=master)
     spark.sparkContext.setLogLevel("ERROR")
     # many small splits so task count >> core count at every level
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
