@@ -277,18 +277,24 @@ def _h3_to_face_ijk(h: np.ndarray):
     ijk2 = np.where(possible[:, None], ijk2, ijk)
     ov = np.where(possible, ov, NO_OVERAGE)
 
-    # pentagons may need repeated adjustment
+    # pentagons may need repeated adjustment — run the repeats on the
+    # FEW rows that still overage, not the whole chunk (the full-array
+    # repeat was 3 extra passes over every row per chunk)
     if (pent & (ov == NEW_FACE)).any():
         for _ in range(4):
-            again = pent & (ov == NEW_FACE)
-            if not again.any():
+            again = np.flatnonzero(pent & (ov == NEW_FACE))
+            if not again.size:
                 break
             f3, i3, ov3 = _adjust_overage_class2(
-                face2, ijk2, work_res, np.zeros_like(pent_lead4), substrate=False
+                face2[again],
+                ijk2[again],
+                work_res[again],
+                np.zeros(again.size, dtype=bool),
+                substrate=False,
             )
-            face2 = np.where(again, f3, face2)
-            ijk2 = np.where(again[:, None], i3, ijk2)
-            ov = np.where(again, ov3, ov)
+            face2[again] = f3
+            ijk2[again] = i3
+            ov[again] = ov3
 
     overaged = possible & (face2 != face)
     # if overage happened, unwind the Class III shift on the new face;
@@ -518,17 +524,20 @@ def _vertex_fijks(h, res: int, pent: np.ndarray):
             face, vc, res_arr, np.zeros(n, dtype=bool), substrate=True
         )
         # pentagon vertices can cross more than one face
-        # (H3 _adjustPentVertOverage repeats while overage == NEW_FACE)
+        # (H3 _adjustPentVertOverage repeats while overage == NEW_FACE);
+        # repeats run on the few still-overaging rows only
+        f2 = f2.copy(); c2 = c2.copy(); o2 = o2.copy()
         for _ in range(3):
-            again = pent & (o2 == NEW_FACE)
-            if not again.any():
+            again = np.flatnonzero(pent & (o2 == NEW_FACE))
+            if not again.size:
                 break
             f3, c3, o3 = _adjust_overage_class2(
-                f2, c2, res_arr, np.zeros(n, dtype=bool), substrate=True
+                f2[again], c2[again], res_arr[again],
+                np.zeros(again.size, dtype=bool), substrate=True,
             )
-            f2 = np.where(again, f3, f2)
-            c2 = np.where(again[:, None], c3, c2)
-            o2 = np.where(again, o3, o2)
+            f2[again] = f3
+            c2[again] = c3
+            o2[again] = o3
         fpost[v], cpost[v], ov[v] = f2, c2, o2
     return face, adj_res, orig2d, fpost, cpost, ov
 
