@@ -5,6 +5,26 @@ expressible. H3-kernel queries are rows-only for the driver (DuckDB has
 no H3); their exact correctness is carried by the golden kernel tests
 and the numpy whole-pipeline oracles in tests/.
 
+Oracle taxonomy (per-query, so the driver report is honest about what
+each green row proves):
+- CROSS-ENGINE VALUE queries (q01-q12, q16, q18, q19, q21, q26, q29,
+  q30, q34): DuckDB recomputes the full result set independently.
+- MIXED queries (q14, q15, q17, q23, q27, q31, q32, q35): the oracle
+  recomputes the *recomputable core* (exact-duplicate pair sets via
+  md5/list equality, row-id sets, totals, pinned re-derived golden
+  counts) while engine-side invariant flags (threshold floors,
+  histogram normalization, disjointness) ride along as constant
+  columns. A kernel regression that changes counts/ids/recall fails
+  the hash; a regression that only flips an invariant flag is caught
+  by the engine's own flag column going 0.
+- ENGINE-SIDE INVARIANT queries (q13, q20, q22, q24, q25, q28, q33,
+  q36, q37, q38): DuckDB cannot recompute H3 values at all, so the
+  engine computes pass/fail flags for engine-independent *laws*
+  (conservation, disk-size bounds, antichain, path minimality) and
+  the oracle pins the expected flag plus any recomputable totals.
+  These prove the law held, not value equality; bit-exactness for the
+  kernel is pinned by the 37 reference goldens in tests/.
+
 Derived geography: the TPC-H-ish driver tables carry no lat/lng, so
 H3/kNN/PIP queries derive deterministic coordinates from stable integer
 keys with arithmetic that evaluates bit-identically in Spark SQL and
@@ -393,14 +413,118 @@ def q13_fingerprints(spark, sf_dir):
 Q13_SQL = "SELECT COUNT(*) AS n_docs, 1 AS fp_matches_texts FROM documents"
 
 
+def _dup_injected_docs(spark, sf_dir):
+    """documents ∪ exact copies of doc_id<40 at doc_id+1e6 — the same
+    construction Q14/Q15's oracle SQL performs, so the md5-exact
+    duplicate pair set is recomputable cross-engine at any sf (the
+    sf0.01 corpus has no natural exact dups; injection guarantees a
+    non-trivial recall target)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") < 40).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(dup)
+
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 40
+), hs AS (SELECT doc_id, md5(text) AS h FROM corpus),
+ep AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id)
+"""
+
+
+def _exact_pairs(corpus, id_col="doc_id", key=None):
+    """md5-equality duplicate pairs (id_a < id_b) — joins only within
+    duplicate groups, so cost is quadratic in group size, not corpus."""
+    key = key if key is not None else F.md5("text")
+    h = corpus.select(F.col(id_col).alias("id"), key.alias("h"))
+    return (
+        h.alias("x")
+        .join(h.alias("y"), "h")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+
+
 def q14_minhash_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(d, jaccard_threshold=0.5)
+    """MinHash-LSH near-dup with a cross-engine recall oracle: DuckDB
+    recomputes the md5-exact duplicate pair set over the dup-injected
+    corpus and asserts the LSH pipeline recovers 100% of it (identical
+    docs share every band's bucket, so recovery is contract, not
+    banding luck — reference for the dedup contract: exact dups must
+    never be missed). ordering/threshold-floor flags are engine-side."""
+    corpus = _dup_injected_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(corpus, jaccard_threshold=0.5).persist()
+    exact = _exact_pairs(corpus)
+    n_exact = exact.count()
+    n_rec = exact.join(pairs, ["id_a", "id_b"], "left_semi").count()
+    st = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("id_a") < F.col("id_b")).cast("long")).alias("n_ord"),
+        F.min("est_jaccard").alias("mn"),
+    ).first()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_exact),
+                int(n_rec),
+                int(st["n_ord"] == st["n"]),
+                int(st["mn"] is None or st["mn"] >= 0.5),
+            )
+        ],
+        "n_exact_pairs long, n_exact_recovered long, "
+        "ordering_ok long, floor_ok long",
+    )
+
+
+Q14_SQL = f"""
+WITH {_DUP_CORPUS_SQL}
+SELECT COUNT(*) AS n_exact_pairs, COUNT(*) AS n_exact_recovered,
+       1 AS ordering_ok, 1 AS floor_ok
+FROM ep
+"""
 
 
 def q15_simhash_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_dedup(d, max_hamming=16)
+    """SimHash near-dup, same cross-engine recall oracle as q14:
+    identical docs have identical simhash (hamming 0), share all four
+    16-bit band buckets, and must be recovered."""
+    corpus = _dup_injected_docs(spark, sf_dir)
+    pairs = dedup.simhash_dedup(corpus, max_hamming=16).persist()
+    exact = _exact_pairs(corpus)
+    n_exact = exact.count()
+    n_rec = exact.join(pairs, ["id_a", "id_b"], "left_semi").count()
+    st = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("id_a") < F.col("id_b")).cast("long")).alias("n_ord"),
+        F.max("hamming").alias("mx"),
+    ).first()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_exact),
+                int(n_rec),
+                int(st["n_ord"] == st["n"]),
+                int(st["mx"] is None or st["mx"] <= 16),
+            )
+        ],
+        "n_exact_pairs long, n_exact_recovered long, "
+        "ordering_ok long, hamming_ok long",
+    )
+
+
+Q15_SQL = f"""
+WITH {_DUP_CORPUS_SQL}
+SELECT COUNT(*) AS n_exact_pairs, COUNT(*) AS n_exact_recovered,
+       1 AS ordering_ok, 1 AS hamming_ok
+FROM ep
+"""
 
 
 def q16_ngram_jaccard(spark, sf_dir):
@@ -432,8 +556,66 @@ SELECT * FROM (
 
 
 def q17_embedding_near_dup(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup(e, cos_threshold=0.25)
+    """Hyperplane-LSH embedding near-dup with the q14-style recall
+    oracle: exact duplicates are injected (vec_id<40 copied to
+    vec_id+1e6), identical vectors land in every band's bucket with
+    cos_sim exactly 1.0, and DuckDB recomputes the list-equality pair
+    set the pipeline must fully recover."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.where(F.col("vec_id") < 40).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    corpus = e.unionByName(dup)
+    pairs = dedup.embedding_near_dup(corpus, cos_threshold=0.25).persist()
+    # exact-equal vectors: join on the array value itself (float
+    # equality is exact — the copies are bit-identical parquet values)
+    exact = (
+        corpus.alias("x")
+        .join(
+            corpus.alias("y"),
+            (F.col("x.embedding") == F.col("y.embedding"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+    )
+    n_exact = exact.count()
+    n_rec = exact.join(pairs, ["id_a", "id_b"], "left_semi").count()
+    st = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("id_a") < F.col("id_b")).cast("long")).alias("n_ord"),
+        F.min("cos_sim").alias("mn"),
+    ).first()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_exact),
+                int(n_rec),
+                int(st["n_ord"] == st["n"]),
+                int(st["mn"] is None or st["mn"] >= 0.25),
+            )
+        ],
+        "n_exact_pairs long, n_exact_recovered long, "
+        "ordering_ok long, floor_ok long",
+    )
+
+
+Q17_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 40
+), ep AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM corpus x JOIN corpus y
+  ON x.embedding = y.embedding AND x.vec_id < y.vec_id)
+SELECT COUNT(*) AS n_exact_pairs, COUNT(*) AS n_exact_recovered,
+       1 AS ordering_ok, 1 AS floor_ok
+FROM ep
+"""
 
 
 # --- embeddings: similarity search ------------------------------------------
@@ -592,16 +774,19 @@ def q23_h3_cell_density(spark, sf_dir):
     top_sum, n_top = dens.orderBy(F.desc("n"), "cell").limit(20).agg(
         F.sum("n"), F.count("*")
     ).first()
-    total = dens.agg(F.sum("n")).first()[0]
+    total, n_cells = dens.agg(F.sum("n"), F.count("*")).first()
     dens.unpersist()
+    # n_top is least(20, n_cells) by construction — reported as a flag
+    # rather than a raw count so tiny scale factors with <20 distinct
+    # cells don't produce a false oracle mismatch (ADVICE r2)
     return spark.createDataFrame(
-        [(int(total), int(n_top), int(top_sum <= total))],
-        "total_points long, n_top long, top_sum_le_total long",
+        [(int(total), int(n_top == min(20, n_cells)), int(top_sum <= total))],
+        "total_points long, top_ok long, top_sum_le_total long",
     )
 
 
 Q23_SQL = """
-SELECT COUNT(*) AS total_points, 20 AS n_top, 1 AS top_sum_le_total
+SELECT COUNT(*) AS total_points, 1 AS top_ok, 1 AS top_sum_le_total
 FROM orders
 """
 
@@ -740,10 +925,49 @@ def _q26_sql() -> str:
 
 
 def q27_polygon_cover(spark, sf_dir):
-    from .operators.pip_join import build_polygon_cells
+    """Per-polygon cover counts against pinned re-derived goldens
+    (q32-style): interior/boundary split, compacted interior size, and
+    the centroid polyfill count. sf_hexagon polyfill@9 == 1253 matches
+    the reference's own region test (reference src/region.rs:119,221);
+    the other rows are re-derived under the identical kernel and pinned
+    so any polyfill/cover/compact regression breaks the value hash.
+    disjoint_ok (interior ∩ boundary == ∅) is an engine-side law."""
+    from .h3core import regions
+    from .h3core.hierarchy import compact
 
-    pdf = build_polygon_cells(POLYGONS, compacted=True)
-    return spark.createDataFrame(pdf)
+    rows = []
+    for pid, (ext, holes, res) in sorted(POLYGONS.items()):
+        interior, boundary = regions.polygon_cover(ext, holes, res)
+        pf = regions.polyfill(ext, holes, res)
+        comp = compact(interior) if len(interior) else interior
+        disjoint = not (set(interior.tolist()) & set(boundary.tolist()))
+        rows.append(
+            (
+                pid,
+                int(len(interior)),
+                int(len(comp)),
+                int(len(boundary)),
+                int(len(pf)),
+                int(disjoint),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "polygon_id string, n_interior long, n_compact long, "
+        "n_boundary long, n_polyfill long, disjoint_ok long",
+    )
+
+
+Q27_SQL = """
+SELECT * FROM (VALUES
+  ('null_island_box', 310, 100, 257, 440, 1),
+  ('sf_hexagon', 1039, 157, 444, 1253, 1),
+  ('sf_hexagon_2holes', 842, 236, 631, 1172, 1),
+  ('sf_hexagon_hole', 945, 207, 533, 1214, 1),
+  ('sydney', 40, 28, 126, 92, 1))
+AS t(polygon_id, n_interior, n_compact, n_boundary, n_polyfill,
+     disjoint_ok)
+"""
 
 
 def q28_boundary_verts(spark, sf_dir):
@@ -881,27 +1105,41 @@ WITH g AS (
                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM g GROUP BY user_id
 """
 
 
 def q31_image_features(spark, sf_dir):
-    """Multimodal plumbing over synthesized rgb24 images: decode ->
-    resize -> histogram features (rows-only; oracle is the in-process
-    recompute in tests/test_multimodal.py)."""
+    """Multimodal decode -> channel-histogram features over synthesized
+    rgb24 images, with a reconstructible oracle: the 500 deterministic
+    image_ids are cross-checked row-for-row, the histogram-normalization
+    law (3 channels x sum 1.0 each -> feature_sum == 3) and the f0 range
+    ride as engine-side flags. Pixel-exact feature values are pinned by
+    the in-process recompute in tests/test_multimodal.py."""
     from .operators import multimodal as mm
     from .sources.datagen import generate_images
 
     imgs = generate_images(spark, 500, w=16, h=16, fast_bytes=True)
     feats = mm.image_features(imgs, bins=8)
+    fsum = F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+    f0 = F.element_at("features", 1)
     return feats.select(
         "image_id",
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
-        ).alias("feature_sum"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").cast("long").alias("n_features"),
+        (F.abs(fsum - F.lit(3.0)) < F.lit(1e-9)).cast("long").alias(
+            "hist_sums_ok"
+        ),
+        ((f0 >= 0.0) & (f0 <= 1.0)).cast("long").alias("f0_in_range"),
     )
+
+
+Q31_SQL = """
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       24 AS n_features, 1 AS hist_sums_ok, 1 AS f0_in_range
+FROM range(500) t(i)
+"""
 
 
 def q32_compact_roundtrip(spark, sf_dir):
@@ -982,9 +1220,24 @@ def q35_video_frame_sample(spark, sf_dir):
         pd.DataFrame(rows, columns=["video_id", "bytes", "w", "h", "fmt"])
     )
     out = mm.sample_frames(videos, every_n=4)
+    # oracle reconstructs the sampled (video_id, frame_idx) set by pure
+    # arithmetic: 432 payload bytes / (4*4*3) = 9 frames, every 4th ->
+    # indices {0,4,8}; luminance values are pinned by the in-process
+    # decode oracle in tests/test_multimodal.py, range law rides here
     return out.select(
-        "video_id", "frame_idx", F.round("mean_lum", 6).alias("mean_lum")
+        "video_id",
+        "frame_idx",
+        ((F.col("mean_lum") >= 0.0) & (F.col("mean_lum") <= 255.0))
+        .cast("long")
+        .alias("lum_in_range"),
     )
+
+
+Q35_SQL = """
+SELECT 'v' || lpad(CAST(v AS VARCHAR), 3, '0') AS video_id,
+       CAST(f * 4 AS INT) AS frame_idx, 1 AS lum_in_range
+FROM range(20) t(v), range(3) s(f)
+"""
 
 
 def q36_compact_distributed(spark, sf_dir):
@@ -1154,10 +1407,10 @@ def catalog():
         "q11_quality_scores": (q11_quality_scores, Q11_SQL),
         "q12_lang_id": (q12_lang_id, Q12_SQL),
         "q13_fingerprints": (q13_fingerprints, Q13_SQL),
-        "q14_minhash_pairs": (q14_minhash_pairs, None),
-        "q15_simhash_pairs": (q15_simhash_pairs, None),
+        "q14_minhash_pairs": (q14_minhash_pairs, Q14_SQL),
+        "q15_simhash_pairs": (q15_simhash_pairs, Q15_SQL),
         "q16_ngram_jaccard": (q16_ngram_jaccard, Q16_SQL),
-        "q17_embedding_near_dup": (q17_embedding_near_dup, None),
+        "q17_embedding_near_dup": (q17_embedding_near_dup, Q17_SQL),
         "q18_cosine_topk": (q18_cosine_topk, Q18_SQL),
         "q19_embedding_stats": (q19_embedding_stats, Q19_SQL),
         "q20_ivf_topk": (q20_ivf_topk, Q20_SQL),
@@ -1167,18 +1420,18 @@ def catalog():
         "q24_h3_kring": (q24_h3_kring, Q24_SQL),
         "q25_h3_parent_rollup": (q25_h3_parent_rollup, Q25_SQL),
         "q26_pip_polygons": (q26_pip_polygons, _q26_sql()),
-        "q27_polygon_cover": (q27_polygon_cover, None),
+        "q27_polygon_cover": (q27_polygon_cover, Q27_SQL),
         "q28_boundary_verts": (q28_boundary_verts, Q28_SQL),
         "q29_knn": (q29_knn, _q29_sql()),
         "q30_events_sessions": (q30_events_sessions, Q30_SQL),
-        "q31_image_features": (q31_image_features, None),
+        "q31_image_features": (q31_image_features, Q31_SQL),
         "q32_compact_roundtrip": (q32_compact_roundtrip, Q32_SQL),
         "q33_ring_size_invariants": (q33_ring_size_invariants, Q33_SQL),
         "q34_stream_batch_equivalence": (
             q34_stream_batch_equivalence,
             Q34_SQL,
         ),
-        "q35_video_frame_sample": (q35_video_frame_sample, None),
+        "q35_video_frame_sample": (q35_video_frame_sample, Q35_SQL),
         "q36_compact_distributed": (q36_compact_distributed, Q36_SQL),
         "q37_polyfill_distributed": (q37_polyfill_distributed, Q37_SQL),
         "q38_h3_line_distance": (q38_h3_line_distance, Q38_SQL),
