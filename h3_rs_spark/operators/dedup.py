@@ -51,11 +51,17 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
         return np.array([0], dtype=np.uint64)
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < n:
-        h = np.uint64(0)
+        # vectorized Horner fold: h = sum b_i * base^(L-1-i)  (mod 2^64),
+        # bit-identical to the sequential h = h*base + b_i loop
         base = np.uint64(1_000_003)
         with np.errstate(over="ignore"):
-            for byte in b.tolist():
-                h = h * base + np.uint64(byte)
+            pows = np.concatenate(
+                (
+                    np.ones(1, dtype=np.uint64),
+                    np.cumprod(np.full(len(b) - 1, base, dtype=np.uint64)),
+                )
+            )[::-1]
+            h = np.sum(b.astype(np.uint64) * pows, dtype=np.uint64)
         return np.array([h], dtype=np.uint64)
     # rolling window view -> polynomial hash, fully vectorized
     win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
@@ -80,6 +86,29 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+_LAST_BUCKET_STATS = None
+
+
+def last_bucket_stats() -> dict:
+    """Bucket-cap telemetry for the MOST RECENT *_dedup call: runs one
+    cheap aggregation over that call's bucket-count relation (narrow
+    (band, bucket, count) rows; the signature relation it derives from
+    is persisted by the caller, so call this BEFORE the pipeline output
+    is unpersisted). Keys:
+      hot_buckets     — over-cap buckets (0 means no bucket was capped
+                        and recall is the full all-pairs semantics)
+      hot_memberships — (id, bucket) rows in those buckets
+      skipped_pairs   — same-bucket candidate pairs the cap suppressed:
+                        sum over hot buckets of C(members,2)-(members-1)
+                        (star-pairing still emits members-1 per bucket)
+    Nonzero counts mean near-dup recall may be degraded in the capped
+    buckets — raise bucket_cap deliberately (contract: _bucket_pairs)."""
+    if _LAST_BUCKET_STATS is None:
+        return {}
+    row = _LAST_BUCKET_STATS.first()
+    return {k: int(row[k] or 0) for k in row.asDict()}
+
+
 def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     """Candidate pairs (id_a < id_b) from LSH buckets.
 
@@ -91,13 +120,41 @@ def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     in the hot-bucket size, and exact duplicates (which share EVERY
     band's bucket, so no other band rescues them) still reach the
     verification stage connected through the representative. Bucket
-    counts are a partial-agg'd groupBy on the narrow key columns."""
+    counts are a partial-agg'd groupBy on the narrow key columns.
+
+    RECALL CONTRACT at the cap boundary: two NEAR (non-identical)
+    duplicates whose only shared buckets are over-cap are surfaced only
+    if one of them is the bucket's min-id anchor — the (non-anchor,
+    non-anchor) pair is dropped unless another, cooler band catches it.
+    That trade (bounded work for possible near-dup recall loss in
+    degenerate buckets) is observable through last_bucket_stats(), and
+    the boundary semantics (which pairs survive a capped bucket, which
+    are dropped) are pinned by tests/test_dedup.py. Exact duplicates
+    are never lost: connectivity through the anchor survives."""
+    global _LAST_BUCKET_STATS
     if not cap:
         counted = banded.withColumn("_bc", F.lit(0))
         cap = 1 << 62
+        counts = None
     else:
         counts = banded.groupBy(*keys).agg(F.count("*").alias("_bc"))
         counted = banded.join(counts, keys)
+    is_hot = F.col("_bc") > cap
+    stats_src = counts if counts is not None else counted.limit(0)
+    _LAST_BUCKET_STATS = stats_src.agg(
+        F.sum(is_hot.cast("long")).alias("hot_buckets"),
+        F.sum(F.when(is_hot, F.col("_bc")).otherwise(0)).alias(
+            "hot_memberships"
+        ),
+        F.sum(
+            F.when(
+                is_hot,
+                (F.col("_bc") * (F.col("_bc") - 1) / 2) - (F.col("_bc") - 1),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("skipped_pairs"),
+    )
     normal = counted.where(F.col("_bc") <= cap).drop("_bc")
     a, b = normal.alias("a"), normal.alias("b")
     cond = F.col("a.id") < F.col("b.id")
@@ -166,7 +223,13 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.7,
     bucket_cap: int = 10_000,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold)."""
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    Recall contract: exact duplicates are always surfaced; NEAR dups
+    inside a bucket that exceeds bucket_cap may only pair through the
+    bucket's min-id anchor (see _bucket_pairs) — check
+    last_bucket_stats() after an action and raise bucket_cap if its
+    counters are nonzero."""
     rows_per_band = num_hashes // bands
     df = _ensure_parallelism(df)
     # persist signatures: they feed both self-join branches and the
@@ -211,19 +274,45 @@ def minhash_lsh_dedup(
 
 
 def simhash_udf(shingle: int = 3):
+    """64-bit simhash, batched across the Arrow batch: shingle hashes of
+    all docs concatenate into one array, per-doc bit votes fold with a
+    segmented np.add.reduceat, and the sign bits pack via a matmul
+    against 1<<arange(64) — no per-document Python loop (same batching
+    pattern as minhash_signature_udf / textstats._fp_batch). Chunks are
+    sized by a total-shingle budget so peak memory is bounded regardless
+    of document length mix."""
+    budget = 1 << 18  # shingles per processed chunk (~67 MB of int32 bits)
+
     @F.pandas_udf(LongType())
     def _f(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        texts = text.tolist()
         with np.errstate(over="ignore"):
-            for i, t in enumerate(text):
-                sh = _shingle_hashes(t or "", shingle)
-                sh = (sh * np.uint64(0x9E3779B97F4A7C15)) ^ (sh >> np.uint64(17))
-                bits = (sh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                val = np.uint64(0)
-                for bpos in np.flatnonzero(votes > 0):
-                    val |= np.uint64(1) << np.uint64(bpos)
-                out[i] = np.int64(val & np.uint64(0x7FFFFFFFFFFFFFFF))
+            i = 0
+            while i < len(texts):
+                docs, total, j = [], 0, i
+                while j < len(texts) and (not docs or total < budget):
+                    d = _shingle_hashes(texts[j] or "", shingle)
+                    docs.append(d)
+                    total += len(d)
+                    j += 1
+                lens = np.array([len(d) for d in docs])
+                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                sh = np.concatenate(docs)
+                sh = (sh * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                    sh >> np.uint64(17)
+                )
+                bits = ((sh[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int32
+                )
+                votes = np.add.reduceat(2 * bits - 1, offsets, axis=0)
+                vals = (votes > 0).astype(np.uint64) @ weights
+                out[i:j] = (
+                    vals & np.uint64(0x7FFFFFFFFFFFFFFF)
+                ).astype(np.int64)
+                i = j
         return pd.Series(out)
 
     return _f
@@ -239,7 +328,8 @@ def simhash_dedup(
     """Near-dup pairs by simhash hamming distance, banded on 4x16-bit
     chunks (a pair within hamming<=3 shares at least one exact chunk;
     wider distances may need more bands — standard recall/cost tradeoff,
-    verified exactly afterwards)."""
+    verified exactly afterwards). Over-cap buckets star-pair: recall
+    contract + last_bucket_stats() telemetry in _bucket_pairs."""
     df = _ensure_parallelism(df)
     sim = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
@@ -324,7 +414,9 @@ def embedding_near_dup(
     """Cosine near-dup pairs via *banded* random-hyperplane LSH + exact
     verify: a pair is a candidate if any band's sign pattern matches
     exactly. Recall at cos >= 0.9 with 16x4 planes is >99.99%; band/plane
-    counts are the standard recall/cost dials."""
+    counts are the standard recall/cost dials. Over-cap buckets
+    star-pair: recall contract + last_bucket_stats() telemetry in
+    _bucket_pairs."""
     rng = np.random.default_rng(99)
     planes = rng.standard_normal((bands * planes_per_band, dim))
 

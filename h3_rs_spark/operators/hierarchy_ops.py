@@ -75,6 +75,43 @@ def compact_cells_df(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
     return result if result is not None else spark.createDataFrame([], cells.schema)
 
 
+def ancestors_col(cell_col: str = "cell"):
+    """array<long> of ALL coarser ancestors (res 0 .. res-1) of a cell,
+    as one codegen'd expression — the dynamic-res generalization of
+    h3_to_parent_col (2^k via pow-cast is exact for k <= 45, the
+    largest digit-fill shift)."""
+    c = F.col(cell_col)
+    res = h3_resolution(cell_col)
+
+    def parent_at(r):
+        fill = F.pow(
+            F.lit(2.0), ((F.lit(15) - r) * 3).cast("double")
+        ).cast("long") - 1
+        return (
+            c.bitwiseAND(F.lit(~(0xF << 52)))
+            .bitwiseOR(r.cast("long") * F.lit(1 << 52))
+            .bitwiseOR(fill)
+        )
+
+    return F.when(
+        res > 0, F.transform(F.sequence(F.lit(0), res - 1), parent_at)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def antichain_violations(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Rows of `cells` that have an ancestor ALSO in `cells` (empty ==
+    the relation is an antichain, e.g. a valid compact output). Fully
+    distributed: explode <= 15 ancestors per cell, one semi-join back —
+    no driver collect, shuffle proportional to |cells| * avg_res."""
+    anc = cells.select(
+        F.col(cell_col).alias("_child"),
+        F.explode(ancestors_col(cell_col)).alias(cell_col),
+    )
+    return anc.join(
+        cells.select(cell_col), cell_col, "left_semi"
+    ).select(F.col("_child").alias(cell_col), F.col(cell_col).alias("ancestor"))
+
+
 _MAX_EXPLODE_LEVELS = 4  # 7^4 = 2401 children per row per stage
 
 

@@ -1,0 +1,124 @@
+"""Dedup pipeline contracts: star-pairing semantics at the bucket cap
+(which pairs survive a hot bucket, which are dropped), the
+last_bucket_stats() telemetry, and simhash signature stability.
+
+The cap boundary is the one place the LSH pipelines trade recall for
+bounded work (VERDICT r2 #5 / ADVICE r2): these tests pin the trade
+instead of leaving it asserted in a comment.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from h3_rs_spark.operators import dedup
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+class TestBucketCapSemantics:
+    def test_star_pairing_boundary(self, spark):
+        """cap=3: a 5-member bucket star-pairs through min-id anchor 1;
+        the (non-anchor, non-anchor) pair (4,5) is DROPPED — the
+        documented recall trade. A cool bucket keeps all-pairs."""
+        rows = [(i, 0, 100) for i in (1, 2, 3, 4, 5)]  # hot bucket
+        rows += [(i, 0, 200) for i in (2, 3)]  # cool bucket
+        banded = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["id", "band", "bucket"])
+        )
+        out = dedup._bucket_pairs(banded, ["band", "bucket"], cap=3)
+        got = _pairs_set(out)
+        assert got == {(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)}
+        # (4,5) shared only the hot bucket and neither is the anchor:
+        # dropped, and the telemetry says exactly how much was skipped
+        stats = dedup.last_bucket_stats()
+        assert stats == {
+            "hot_buckets": 1,
+            "hot_memberships": 5,
+            "skipped_pairs": 6,  # C(5,2)=10 candidates, star emits 4
+        }
+
+    def test_no_cap_hit_means_zero_counters(self, spark):
+        banded = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, 0, 7), (2, 0, 7)], columns=["id", "band", "bucket"]
+            )
+        )
+        out = dedup._bucket_pairs(banded, ["band", "bucket"], cap=100)
+        assert _pairs_set(out) == {(1, 2)}
+        assert dedup.last_bucket_stats() == {
+            "hot_buckets": 0,
+            "hot_memberships": 0,
+            "skipped_pairs": 0,
+        }
+
+    def test_exact_dups_survive_cap_connected(self, spark):
+        """End-to-end: 4 identical docs with bucket_cap=2 (every band's
+        bucket is hot). All-pairs would be 6 pairs; the contract only
+        guarantees CONNECTIVITY through the min-id anchor — and exact
+        dups must never vanish entirely."""
+        docs = [(i, "the exact same document text repeated verbatim")
+                for i in (10, 11, 12, 13)]
+        docs += [(20 + i, f"unique filler document number {i} "
+                          f"with distinct content {i * 17}")
+                 for i in range(6)]
+        df = spark.createDataFrame(
+            pd.DataFrame(docs, columns=["doc_id", "text"])
+        )
+        pairs = dedup.minhash_lsh_dedup(
+            df, jaccard_threshold=0.9, bucket_cap=2
+        )
+        got = _pairs_set(pairs)
+        star = {(10, 11), (10, 12), (10, 13)}
+        assert star <= got
+        # connectivity: every dup id reachable from the anchor
+        ids = {10} | {b for a, b in got if a == 10}
+        assert ids == {10, 11, 12, 13}
+        stats = dedup.last_bucket_stats()
+        assert stats["hot_buckets"] > 0
+        assert stats["skipped_pairs"] > 0
+
+
+class TestSimhashVectorized:
+    def test_matches_scalar_reference(self, spark):
+        """The batched reduceat/matmul simhash must be bit-identical to
+        the per-document scalar formulation (the r2 implementation)."""
+
+        def scalar_simhash(t, shingle=3):
+            sh = dedup._shingle_hashes(t or "", shingle)
+            sh = (sh * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                sh >> np.uint64(17)
+            )
+            bits = (
+                sh[:, None] >> np.arange(64, dtype=np.uint64)
+            ) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            val = np.uint64(0)
+            for bpos in np.flatnonzero(votes > 0):
+                val |= np.uint64(1) << np.uint64(bpos)
+            return np.int64(val & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+        rng = np.random.default_rng(42)
+        texts = ["", "a", "ab", "xyz", "word " * 50] + [
+            "".join(
+                chr(97 + c) for c in rng.integers(0, 26, rng.integers(0, 120))
+            )
+            for _ in range(40)
+        ]
+        batched = dedup.simhash_udf(3).func(pd.Series(texts)).to_numpy()
+        expected = np.array([scalar_simhash(t) for t in texts])
+        assert np.array_equal(batched, expected)
+
+    def test_short_text_fallback_vectorized_identity(self):
+        """Horner-fold vectorization of sub-shingle docs must equal the
+        sequential h = h*base + byte loop."""
+        for t in ("a", "ab", "zz", "7", "é"):
+            got = dedup._shingle_hashes(t, 5)
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for byte in t.encode("utf-8"):
+                    h = h * np.uint64(1_000_003) + np.uint64(byte)
+            assert got.tolist() == [int(h)], t
