@@ -124,11 +124,24 @@ def run_headline(spark, sf: float) -> dict:
             k=10, res=9,
         ).count(),
     )
+    # q14's catalog entry grew a cross-engine recall oracle in round 3
+    # (dup injection + exact-pair verification joins); this bench key
+    # keeps timing the RAW near-dup operator — the identical body the
+    # r1/r2 catalog entry ran — so the per-round series stays
+    # apples-to-apples
+    from h3_rs_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "q14_minhash_pairs",
+        lambda: dedup.minhash_lsh_dedup(
+            docs, jaccard_threshold=0.5
+        ).collect(),
+    )
     for name in (
         "q01_pricing_summary",
         "q06_broadcast_join_parts",
         "q09_dedup_exact",
-        "q14_minhash_pairs",
         "q18_cosine_topk",
         "q23_h3_cell_density",
         "q26_pip_polygons",
@@ -207,6 +220,11 @@ def main():
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                # methodology tag (ADVICE r2): the headline is STEADY-
+                # STATE (one untimed warm rep, then best-of-2); r1's
+                # records were cold single runs — compare r1 against
+                # cold_total_sec, not value
+                "timing": "steady_best_of_2_after_warm",
                 "queries": out["times"],
                 "sf": sf,
                 "cpus": CPUS,

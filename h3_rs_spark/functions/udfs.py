@@ -117,6 +117,30 @@ def k_ring_distances_udf(k: int):
     return _f
 
 
+def k_ring_dyn_udf():
+    """(cell, ring) -> array<long>: per-ROW ring radius, for operators
+    that keep per-key ring state in a column (distributed kNN). Each
+    Arrow batch groups by distinct radius so every radius is one
+    vectorized traversal call, not a per-row loop."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(cell: pd.Series, ring: pd.Series) -> pd.Series:
+        c = cell.to_numpy(dtype=np.int64)
+        r = ring.to_numpy(dtype=np.int64)
+        out = [None] * len(c)
+        for rv in np.unique(r):
+            idx = np.flatnonzero(r == rv)
+            owner, cells = traversal.k_ring(c[idx], int(rv))
+            lists = [[] for _ in range(len(idx))]
+            for o, cc in zip(owner.tolist(), cells.tolist()):
+                lists[o].append(cc)
+            for i, lst in zip(idx.tolist(), lists):
+                out[i] = lst
+        return pd.Series(out)
+
+    return _f
+
+
 def h3_to_children_udf(child_res: int):
     @F.pandas_udf(ArrayType(LongType()))
     def _f(cell: pd.Series) -> pd.Series:

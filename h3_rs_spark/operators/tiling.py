@@ -74,19 +74,33 @@ def tile_assign(
     """Decode + tile + cell-assign. Input needs (image_id, bytes, w, h,
     fmt, lat, lng); Catalyst prunes everything else from the scan."""
     cols = ["image_id", "bytes", "w", "h", "fmt", "lat", "lng"]
+    # bound the stacked-pixel working set per task: a full 20k-row Arrow
+    # batch of large images stacked at once would dwarf executor memory
+    # (ADVICE r2), so same-shape groups split into <= 64 MB sub-stacks —
+    # still thousands of small images per vectorized call
+    stack_budget = 64 << 20
 
     def _group_frame(grp: pd.DataFrame, w: int, h: int, fmt: str) -> pd.DataFrame:
         """Vectorized path for a same-(w, h, fmt) group: one stacked
-        (n, h, w, 3) array, tile means + geo offsets computed across
-        ALL images at once — per-image Python is one frombuffer call."""
+        uint8 (n, h, w, 3) array (1x the raw bytes — NOT a float64 copy;
+        the means accumulate in float64 during the reduction), tile
+        means + geo offsets computed across the sub-stack at once —
+        per-image Python is one frombuffer call."""
+        chunk = max(1, stack_budget // max(w * h * 3, 1))
+        if len(grp) > chunk:
+            return pd.concat(
+                [
+                    _group_frame(grp.iloc[i:i + chunk], w, h, fmt)
+                    for i in range(0, len(grp), chunk)
+                ],
+                ignore_index=True,
+            )
         n_img = len(grp)
-        px = np.stack(
-            [decode_image(b, w, h, fmt) for b in grp["bytes"]]
-        ).astype(np.float64)
+        px = np.stack([decode_image(b, w, h, fmt) for b in grp["bytes"]])
         ny, nx = h // tile_px, w // tile_px
         trimmed = px[:, : ny * tile_px, : nx * tile_px, :]
         means = trimmed.reshape(n_img, ny, tile_px, nx, tile_px, 3).mean(
-            axis=(2, 4)
+            axis=(2, 4), dtype=np.float64
         )  # (n, ny, nx, 3)
         ty, tx = np.mgrid[0:ny, 0:nx]
         cx = ((tx + 0.5) * tile_px - w / 2.0).ravel()

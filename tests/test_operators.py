@@ -127,6 +127,40 @@ class TestKnn:
         assert g["image_id"].tolist() == x["image_id"].tolist()
         assert np.allclose(g["dist_m"], x["dist_m"], rtol=1e-9, atol=1e-6)
 
+    def test_distributed_queries_variant_matches(self, spark, images,
+                                                 oracle_geo):
+        """knn_join_distributed (query set stays a DataFrame, only
+        per-round stats reach the driver) must return knn_join's exact
+        rows — including sparse ocean queries that force ring expansion
+        and resolution escalation."""
+        from h3_rs_spark.operators.knn import knn_join_distributed
+
+        queries = datagen.generate_knn_queries(spark, n=24, k=5)
+        q_pdf = queries.toPandas()
+        got = knn_join_distributed(
+            spark, images, queries, k=5, res=9
+        ).toPandas()
+        exp = knn_oracle(oracle_geo, q_pdf, k=5)
+        g = got.sort_values(["query_id", "rank"], ignore_index=True)
+        x = exp.sort_values(["query_id", "rank"], ignore_index=True)
+        assert g["image_id"].tolist() == x["image_id"].tolist()
+        assert np.allclose(g["dist_m"], x["dist_m"], rtol=1e-9, atol=1e-6)
+
+    def test_blind_sequence_matches_precheck(self, spark, images,
+                                             oracle_geo):
+        """density_precheck=False (small-batch fast path, ADVICE r2)
+        must not change results — completion is proven by the
+        guaranteed-radius test either way."""
+        queries = datagen.generate_knn_queries(spark, n=8, k=3)
+        q_pdf = queries.toPandas()
+        got = knn_join(
+            spark, images, queries, k=3, res=9, density_precheck=False
+        ).toPandas()
+        exp = knn_oracle(oracle_geo, q_pdf, k=3)
+        g = got.sort_values(["query_id", "rank"], ignore_index=True)
+        x = exp.sort_values(["query_id", "rank"], ignore_index=True)
+        assert g["image_id"].tolist() == x["image_id"].tolist()
+
 
 class TestTiling:
     def test_tile_assignment_vs_oracle(self, spark, images):
