@@ -183,22 +183,29 @@ def scaling_cluster_main():
                 best[n_exec] = r
     r1, r4 = best[1], best[4]
     eff = (r1["pip_sec"] / r4["pip_sec"]) / 4.0
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency_1_to_4_executors",
-                "value": round(eff, 3),
-                "unit": "ratio",
-                "rows_per_sec_1x8": r1["rows_per_sec"],
-                "rows_per_sec_4x8": r4["rows_per_sec"],
-                "pip_sec_1x8": r1["pip_sec"],
-                "pip_sec_4x8": r4["pip_sec"],
-                "n_images": r1["n_images"],
-                "passes": passes,
-                "sf": _sf(),
-            }
-        )
-    )
+    payload = {
+        "metric": "scaling_efficiency_1_to_4_executors",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "rows_per_sec_1x8": r1["rows_per_sec"],
+        "rows_per_sec_4x8": r4["rows_per_sec"],
+        "pip_sec_1x8": r1["pip_sec"],
+        "pip_sec_4x8": r4["pip_sec"],
+        "n_images": r1["n_images"],
+        "passes": passes,
+        "sf": _sf(),
+    }
+    for tag, r in (("1x8", r1), ("4x8", r4)):
+        prof = {k: r[k] for k in _PROFILE_KEYS if k in r}
+        if prof:
+            payload[f"profile_{tag}"] = prof
+    print(json.dumps(payload))
+
+
+_PROFILE_KEYS = (
+    "wall_reps_sec", "cpu_java_sec", "cpu_python_sec", "util_cores",
+    "exec_run_sec", "exec_cpu_sec", "gc_sec", "deser_sec", "tasks",
+)
 
 
 def main():
@@ -266,25 +273,98 @@ def scaling_main():
                 best[cpus] = r
     r8, r32 = best[8], best[32]
     eff = (r8["pip_sec"] / r32["pip_sec"]) / 4.0
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency_8_to_32",
-                "value": round(eff, 3),
-                "unit": "ratio",
-                "rows_per_sec_8": r8["rows_per_sec"],
-                "rows_per_sec_32": r32["rows_per_sec"],
-                "pip_sec_8": r8["pip_sec"],
-                "pip_sec_32": r32["pip_sec"],
-                "n_images": r8["n_images"],
-                "passes": passes,
-                "sf": _sf(),
-            }
-        )
-    )
+    payload = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "rows_per_sec_8": r8["rows_per_sec"],
+        "rows_per_sec_32": r32["rows_per_sec"],
+        "pip_sec_8": r8["pip_sec"],
+        "pip_sec_32": r32["pip_sec"],
+        "n_images": r8["n_images"],
+        "passes": passes,
+        "sf": _sf(),
+    }
+    for tag, r in (("8", r8), ("32", r32)):
+        prof = {k: r[k] for k in _PROFILE_KEYS if k in r}
+        if prof:
+            payload[f"profile_{tag}"] = prof
+    print(json.dumps(payload))
 
 
 SCALING_N = int(os.environ.get("BENCH_SCALING_N", "16000000"))
+
+
+def _proc_cpu_seconds() -> dict:
+    """Aggregate CPU seconds (utime+stime) of all live java / python
+    processes — the Spark JVMs and their Arrow UDF workers. Sampled
+    before/after the timed reps, the delta attributes where the cores
+    actually went at each cluster size (JVM vs python split); processes
+    that exit inside the window drop their accumulated time, so python
+    worker reuse must stay on (it is by default)."""
+    import glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    out = {"java": 0.0, "python": 0.0}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            head, tail = open(stat).read().rsplit(") ", 1)
+            comm = head.split(" (", 1)[1]
+            fields = tail.split()
+            cpu = (int(fields[11]) + int(fields[12])) / hz
+        except Exception:
+            continue
+        if comm.startswith("java"):
+            out["java"] += cpu
+        elif comm.startswith("python"):
+            out["python"] += cpu
+    return out
+
+
+def _eventlog_metrics(log_dir: str) -> dict:
+    """Sum task metrics from the Spark event log: executor run/CPU/GC
+    time tells whether a scaling loss is GC, scheduling, or off-JVM
+    (python / memory-stall) time."""
+    import glob as _g
+
+    tot = {
+        "exec_run_sec": 0.0,
+        "exec_cpu_sec": 0.0,
+        "gc_sec": 0.0,
+        "deser_sec": 0.0,
+        "tasks": 0,
+    }
+    # Spark 4 writes rolling v2 logs as DIRECTORIES (eventlog_v2_<app>/
+    # events_N_...); accept both layouts
+    paths = []
+    for p in _g.glob(os.path.join(log_dir, "*")):
+        if os.path.isdir(p):
+            paths.extend(
+                f for f in _g.glob(os.path.join(p, "*"))
+                if os.path.isfile(f) and "appstatus" not in f
+            )
+        else:
+            paths.append(p)
+    for path in paths:
+        with open(path, errors="ignore") as fh:
+            for line in fh:
+                if '"Event":"SparkListenerTaskEnd"' not in line.replace(
+                    " ", ""
+                ):
+                    continue
+                try:
+                    ev = json.loads(line)
+                    m = ev.get("Task Metrics") or {}
+                    tot["exec_run_sec"] += m.get("Executor Run Time", 0) / 1e3
+                    tot["exec_cpu_sec"] += m.get("Executor CPU Time", 0) / 1e9
+                    tot["gc_sec"] += m.get("JVM GC Time", 0) / 1e3
+                    tot["deser_sec"] += (
+                        m.get("Executor Deserialize Time", 0) / 1e3
+                    )
+                    tot["tasks"] += 1
+                except Exception:
+                    continue
+    return {k: round(v, 2) for k, v in tot.items()}
 
 
 def pip_only():
@@ -302,7 +382,26 @@ def pip_only():
     from h3_rs_spark.sources import datagen, io
 
     master = os.environ.get("BENCH_MASTER", f"local[{CPUS}]")
-    spark = get_spark(app="bench-pip", master=master)
+    profile = os.environ.get("BENCH_PROFILE") == "1"
+    extra = {}
+    log_dir = None
+    if profile:
+        import tempfile
+
+        log_dir = tempfile.mkdtemp(prefix="bench_evlog_")
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{log_dir}",
+            "spark.eventLog.compress": "false",  # parsed by _eventlog_metrics
+        }
+    for kv in os.environ.get("BENCH_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k] = v
+    # executors must not idle at stage tails: zero locality wait (the
+    # scan is file:// with no locality anyway) and schedule eagerly
+    extra.setdefault("spark.locality.wait", "0s")
+    spark = get_spark(app="bench-pip", master=master, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     # many small splits so task count >> core count at every level
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
@@ -327,6 +426,18 @@ def pip_only():
     else:
         src_path = raw_path
 
+    # wave quantization: a fixed split size gives ~100 scan tasks, which
+    # is 12.5 waves on 8 slots (4% tail loss) but only ~3.1 waves on 32
+    # slots (~10% of the stage idle in the last partial wave) — size the
+    # splits so every level runs ~8 task waves, the same tasks-per-slot
+    # discipline a real cluster job would tune for
+    src_bytes = sum(
+        f.stat().st_size for f in Path(src_path).glob("*.parquet")
+    )
+    target = max(4 * 1024 * 1024, src_bytes // (CPUS * 8))
+    target = int(os.environ.get("BENCH_MPB", target))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
     polys9 = {k: v for k, v in datagen.POLYGONS.items() if v[2] == 9}
     prebuilt = build_polygon_cells(polys9, compacted=True)
 
@@ -345,21 +456,31 @@ def pip_only():
         return time.time() - t0
 
     run_once()  # warm-up (codegen, python workers)
+    cpu0 = _proc_cpu_seconds() if profile else None
+    t_reps0 = time.time()
     reps = [run_once() for _ in range(3)]
+    wall = time.time() - t_reps0
     dt = statistics.median(reps)
-    print(
-        json.dumps(
-            {
-                "pip_sec": round(dt, 3),
-                "reps": [round(r, 3) for r in reps],
-                "rows_per_sec": round(n * replicate / dt, 1),
-                "n_images": n * replicate,
-                "cpus": CPUS,
-                "phase": phase,
-            }
+    out = {
+        "pip_sec": round(dt, 3),
+        "reps": [round(r, 3) for r in reps],
+        "rows_per_sec": round(n * replicate / dt, 1),
+        "n_images": n * replicate,
+        "cpus": CPUS,
+        "phase": phase,
+    }
+    if profile:
+        cpu1 = _proc_cpu_seconds()
+        out["wall_reps_sec"] = round(wall, 2)
+        out["cpu_java_sec"] = round(cpu1["java"] - cpu0["java"], 2)
+        out["cpu_python_sec"] = round(cpu1["python"] - cpu0["python"], 2)
+        out["util_cores"] = round(
+            (out["cpu_java_sec"] + out["cpu_python_sec"]) / wall, 2
         )
-    )
     spark.stop()
+    if profile:
+        out.update(_eventlog_metrics(log_dir))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
