@@ -292,7 +292,11 @@ def scaling_main():
     print(json.dumps(payload))
 
 
-SCALING_N = int(os.environ.get("BENCH_SCALING_N", "16000000"))
+# 64M rows: with the round-3 worker fixes the 32-core level finishes a
+# 16M-row rep in <3 s, where per-rep fixed costs (driver planning, stage
+# scheduling) eat ~15% and masquerade as scaling loss; 64M keeps every
+# level's rep >7 s so the measurement is throughput, not constant terms
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "64000000"))
 
 
 def _proc_cpu_seconds() -> dict:

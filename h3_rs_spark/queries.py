@@ -1069,6 +1069,37 @@ SELECT query_id, point_id, ROUND(dist_m, 3) AS dist_m FROM (
 """
 
 
+def q39_knn_distributed(spark, sf_dir):
+    """knn_join_distributed through the driver gate: identical result
+    contract to q29 (exact top-3 by haversine, DuckDB oracle), but the
+    query set stays a DataFrame end-to-end — top-k rows never funnel
+    through the driver, only per-round completion stats do (VERDICT r2
+    #6). Sharing q29's oracle makes the variant's exactness a
+    cross-engine check, not just a fixture test."""
+    from .operators.knn import knn_join_distributed
+
+    pts = (
+        derived_points(spark, sf_dir, "customer", "c_custkey")
+        .withColumn("cell", geo_to_h3_udf(7)("lat", "lng"))
+        .withColumn("image_id", F.col("point_id"))
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [f"q{i}" for i in range(6)],
+                "lat": [37.76, 37.80, 40.71, -33.87, 0.30, 52.0],
+                "lng": [-122.44, -122.40, -74.01, 151.21, 0.20, 5.0],
+            }
+        )
+    )
+    out = knn_join_distributed(spark, pts, queries, k=3, res=7)
+    return out.select(
+        "query_id",
+        F.col("image_id").alias("point_id"),
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
 def q30_events_sessions(spark, sf_dir):
     """Sessionization: gap > 30 min starts a new session (lag + cumsum)."""
     from pyspark.sql import Window
@@ -1430,4 +1461,5 @@ def catalog():
         "q36_compact_distributed": (q36_compact_distributed, Q36_SQL),
         "q37_polyfill_distributed": (q37_polyfill_distributed, Q37_SQL),
         "q38_h3_line_distance": (q38_h3_line_distance, Q38_SQL),
+        "q39_knn_distributed": (q39_knn_distributed, _q29_sql()),
     }
