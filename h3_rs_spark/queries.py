@@ -1417,6 +1417,45 @@ def q38_h3_line_distance(spark, sf_dir):
 Q38_SQL = "SELECT 1 AS lines_minimal, 1 AS all_reachable"
 
 
+_Q40_SEQ = [0]
+
+
+def q40_stream_dedup(spark, sf_dir):
+    """Streaming first-seen-wins exact dedup (applyInPandasWithState
+    keyed by content hash, availableNow drain) over the dup-injected
+    corpus: every document is re-read with doc_id+1e6, so each hash
+    group holds the original plus a copy. Cross-engine oracle: group
+    count and total row count are plain SQL over documents, and
+    first-seen-wins means every kept id is the original (< 1e6) —
+    DuckDB recomputes all three."""
+    import shutil
+    import tempfile
+
+    from .streaming.dedup_stream import run_dedup_available_now
+
+    src = tempfile.mkdtemp(prefix="q40src_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/part-0.parquet")
+    _Q40_SEQ[0] += 1
+    out = run_dedup_available_now(
+        spark, src, inject_dups=True, name=f"q40_dedup_{_Q40_SEQ[0]}"
+    )
+    return out.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("dup_count").cast("long").alias("n_docs"),
+        F.sum((F.col("keep_id") < 1_000_000).cast("long")).alias(
+            "n_keep_original"
+        ),
+    )
+
+
+Q40_SQL = """
+SELECT COUNT(DISTINCT md5(text)) AS n_groups,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_keep_original
+FROM documents
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1462,4 +1501,5 @@ def catalog():
         "q37_polyfill_distributed": (q37_polyfill_distributed, Q37_SQL),
         "q38_h3_line_distance": (q38_h3_line_distance, Q38_SQL),
         "q39_knn_distributed": (q39_knn_distributed, _q29_sql()),
+        "q40_stream_dedup": (q40_stream_dedup, Q40_SQL),
     }

@@ -1,0 +1,109 @@
+"""Streaming exact deduplication: first-seen-wins per content hash
+across micro-batches.
+
+The streaming form of operators/dedup.exact_dedup — the state machine
+a 100 TB ingest pipeline needs so late-arriving copies of an
+already-seen document are dropped incrementally instead of re-running
+a batch distinct over the whole corpus. Keyed by md5(text) via
+applyInPandasWithState; state per hash = (min doc_id seen, total
+copies seen), emitted in update mode. The shuffle is on the hash key
+(same partitioning as the batch groupBy), state size is one tiny row
+per DISTINCT document — at 10^12 rows with duplication this is the
+bounded-state design: state grows with unique content, not stream
+length, and RocksDB-backed state stores shard it per hash partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string"
+
+STATE_SCHEMA = StructType(
+    [StructField("keep_id", LongType()), StructField("dup_count", LongType())]
+)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("keep_id", LongType()),
+        StructField("dup_count", LongType()),
+    ]
+)
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    keep, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if len(pdf):
+            mn = int(pdf["doc_id"].min())
+            keep = mn if keep is None else min(keep, mn)
+            n += len(pdf)
+    state.update((keep, n))
+    yield pd.DataFrame(
+        {"content_hash": [key[0]], "keep_id": [keep], "dup_count": [n]}
+    )
+
+
+def docs_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) stream -> per-content-hash (keep_id, dup_count)."""
+    hashed = docs.select(
+        F.md5("text").alias("content_hash"), "doc_id"
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_available_now(
+    spark: SparkSession, src_path: str, inject_dups: bool = False,
+    name: str = "stream_dedup",
+) -> DataFrame:
+    """Drain the documents dir with availableNow; returns the FINAL
+    per-hash rows (update mode appends one row per key per batch to the
+    memory sink, so the last update — max dup_count — wins).
+
+    inject_dups unions a shifted-id re-read of the same source so every
+    document has an exact duplicate (guaranteed non-trivial dedup at
+    scale factors whose corpus has no natural dups)."""
+    src = docs_stream(spark, src_path)
+    if inject_dups:
+        copy = docs_stream(spark, src_path).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        src = src.unionByName(copy)
+    q = (
+        dedup_stream(src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per_key = (
+        spark.table(name)
+        .groupBy("content_hash")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.max("dup_count").alias("dup_count"),
+        )
+    )
+    return per_key

@@ -122,3 +122,41 @@ class TestSimhashVectorized:
                 for byte in t.encode("utf-8"):
                     h = h * np.uint64(1_000_003) + np.uint64(byte)
             assert got.tolist() == [int(h)], t
+
+
+class TestStreamDedup:
+    def test_stream_matches_batch_exact_dedup(self, spark, tmp_path):
+        """Streaming first-seen-wins dedup must agree with the batch
+        exact_dedup groupBy on the same (dup-injected) corpus."""
+        import shutil
+
+        from h3_rs_spark.operators.dedup import exact_dedup
+        from h3_rs_spark.streaming.dedup_stream import (
+            run_dedup_available_now,
+        )
+
+        src = tmp_path / "docs_src"
+        src.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/documents.parquet",
+            src / "part-0.parquet",
+        )
+        got = run_dedup_available_now(
+            spark, str(src), inject_dups=True, name="t_stream_dedup"
+        ).toPandas()
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus = docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
+        exp = exact_dedup(corpus).toPandas()
+
+        g = got.sort_values("content_hash", ignore_index=True)
+        x = exp.rename(columns={"dup_count": "dup_count"}).sort_values(
+            "content_hash", ignore_index=True
+        )
+        assert g["content_hash"].tolist() == x["content_hash"].tolist()
+        assert g["keep_id"].tolist() == x["keep_id"].tolist()
+        assert g["dup_count"].tolist() == x["dup_count"].tolist()
+        # first-seen-wins: every kept id is the pre-injection original
+        assert (g["keep_id"] < 1_000_000).all()
