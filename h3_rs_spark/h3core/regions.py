@@ -14,8 +14,15 @@ and implicit ring auto-closing (src/raw.rs:178-179) are honored.
 
 Antimeridian-crossing polygons are supported (detected by a >180 deg
 longitude jump; scan and ray cast shift into the [0,360) domain).
-Known limitation (documented): polygons CONTAINING a pole are not
-supported by the bbox scan (none of the reference's fixtures are).
+Pole-CONTAINING polygons are supported beyond the reference (H3 v3.6
+itself cannot fill them): a ring whose longitudes wind a full +-360 deg
+encircles a pole — interior is the side left of travel (GeoJSON
+orientation: net eastward winding encloses the north side) — and both
+the candidate scan (polar-cap lattice, per-row longitude stepping) and
+the containment test (meridian ray toward the contained pole, even
+crossing parity) switch to polar forms. Exactness is pinned by
+constant-latitude cap/annulus fixtures whose truth is enumerable
+(tests/test_h3_goldens.py::TestPolarPolyfill).
 """
 
 from __future__ import annotations
@@ -57,6 +64,47 @@ def points_in_ring(lng: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.nda
     return crossings % 2 == 1
 
 
+def _lng_winding_deg(ring: np.ndarray) -> float:
+    """Net longitude winding of a closed ring, each edge wrapped to the
+    short way round: ~±360 for a ring encircling a pole, ~0 otherwise."""
+    d = np.diff(ring[:, 0])
+    d = (d + 180.0) % 360.0 - 180.0
+    return float(d.sum())
+
+
+def _polar_pole(ring: np.ndarray):
+    """+1 if the ring encircles the north pole, -1 the south, None if
+    not polar. Interior is the side LEFT of travel (GeoJSON ring
+    orientation), so net eastward winding (+360) encloses north."""
+    w = _lng_winding_deg(ring)
+    if abs(w) < 180.0:
+        return None
+    return 1 if w > 0 else -1
+
+
+def _points_in_polar_ring(
+    lng: np.ndarray, lat: np.ndarray, ring: np.ndarray, pole: int
+) -> np.ndarray:
+    """Containment for a pole-encircling ring: walk each point's
+    meridian toward the contained pole and count boundary crossings —
+    the pole is interior by construction, so EVEN parity means inside.
+    Crossing longitudes interpolate in the wrapped (shortest-span) edge
+    frame, matching the planar-edge semantics of points_in_ring."""
+    x = np.asarray(lng, dtype=np.float64)[:, None]
+    y = np.asarray(lat, dtype=np.float64)[:, None]
+    x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    d_edge = (x1 - x0 + 180.0) % 360.0 - 180.0
+    d_pt = (x - x0 + 180.0) % 360.0 - 180.0
+    denom = np.where(d_edge == 0.0, np.nan, d_edge)
+    t = d_pt / denom
+    on_edge_span = (t >= 0.0) & (t < 1.0)
+    cross_lat = y0 + t * (y1 - y0)
+    between = cross_lat > y if pole > 0 else cross_lat < y
+    crossings = (on_edge_span & between).sum(axis=1)  # NaN compares False
+    return crossings % 2 == 0
+
+
 def _is_transmeridian(ring: np.ndarray) -> bool:
     """A ring edge jumping > 180 deg of longitude crosses the
     antimeridian (H3 bboxFromGeofence transmeridian test)."""
@@ -67,11 +115,31 @@ def _shift_lng(lng: np.ndarray) -> np.ndarray:
     return np.where(lng < 0.0, lng + 360.0, lng)
 
 
+def _ring_contains(lng: np.ndarray, lat: np.ndarray, ring: np.ndarray):
+    pole = _polar_pole(ring)
+    if pole is not None:
+        return _points_in_polar_ring(lng, lat, ring, pole)
+    if _is_transmeridian(ring):
+        ring = ring.copy()
+        ring[:, 0] = _shift_lng(ring[:, 0])
+        lng = _shift_lng(np.asarray(lng, dtype=np.float64))
+    return points_in_ring(lng, lat, ring)
+
+
 def points_in_polygon(
     lng: np.ndarray, lat: np.ndarray, exterior: np.ndarray, holes=None
 ) -> np.ndarray:
     ext = _close_ring(exterior)
     hls = _clean_holes(holes)
+    if _polar_pole(ext) is not None or any(
+        _polar_pole(h) is not None for h in hls
+    ):
+        # polar rings: per-ring containment (each ring may be polar or
+        # planar independently — an annulus's hole is itself polar)
+        inside = _ring_contains(lng, lat, ext)
+        for hole in hls:
+            inside &= ~_ring_contains(lng, lat, hole)
+        return inside
     if _is_transmeridian(ext):
         # shift polygon and points into the [0, 360) longitude domain so
         # the planar ray cast never sees the +-180 seam
@@ -102,11 +170,35 @@ def ring_area_m2(ring, radius_m: float = EARTH_RADIUS_KM * 1000.0) -> float:
 MAX_POLYFILL_CELLS = 5_000_000
 
 
+def _polar_band(ext: np.ndarray, res: int, pole: int):
+    """(band_lo, band_hi) latitudes the polar-cap scan must cover."""
+    edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
+    pad = 2.5 * edge_deg
+    if pole > 0:
+        return float(ext[:, 1].min() - pad), 90.0
+    return -90.0, float(ext[:, 1].max() + pad)
+
+
 def bbox_cell_estimate(ext: np.ndarray, res: int) -> float:
     """Estimated lattice-scan candidate count for a ring's bbox at
     `res` — the ONE formula both the driver-side scan guard and the
     distributed-polyfill coarse-res picker use (operators/polyfill_dist),
     so "fits the driver" always means the same thing."""
+    pole = _polar_pole(ext)
+    if pole is not None:
+        # spherical-zone area of the cap the scan covers / cell area
+        from .constants import HEX_AREA_M2
+
+        lo, hi = _polar_band(ext, res, pole)
+        r_m = EARTH_RADIUS_KM * 1000.0
+        area = (
+            2.0
+            * np.pi
+            * r_m
+            * r_m
+            * abs(np.sin(np.radians(hi)) - np.sin(np.radians(lo)))
+        )
+        return float(2.0 * area / HEX_AREA_M2[res])
     if _is_transmeridian(ext):
         ext = ext.copy()
         ext[:, 0] = _shift_lng(ext[:, 0])
@@ -126,7 +218,35 @@ def _bbox_scan_cells(ext: np.ndarray, res: int) -> np.ndarray:
     when the scan would exceed MAX_POLYFILL_CELLS candidates.
     Transmeridian rings scan in the [0, 360) longitude domain (the
     lattice longitudes may exceed 180; geo_to_h3 wraps them exactly —
-    test_world_wrapping)."""
+    test_world_wrapping). Polar rings scan the full-longitude cap with
+    PER-ROW longitude stepping (one global step sized for the extreme
+    latitude would undersample the low-latitude rows)."""
+    pole = _polar_pole(ext)
+    if pole is not None:
+        est = bbox_cell_estimate(ext, res)
+        if est > MAX_POLYFILL_CELLS * 4:
+            raise ValueError(
+                f"polyfill: polar cap at res {res} implies ~{est:.2e} "
+                f"candidate cells (> {MAX_POLYFILL_CELLS}); fill coarser "
+                "and uncompact distributively (operators.hierarchy_ops)"
+            )
+        edge_deg = np.degrees(EDGE_LENGTH_M[res] / (EARTH_RADIUS_KM * 1000.0))
+        step_lat = 0.7 * edge_deg
+        lo, hi = _polar_band(ext, res, pole)
+        lats = np.clip(np.arange(lo, hi + step_lat, step_lat), -89.9999, 89.9999)
+        rows_lat, rows_lng = [], []
+        for la in lats:
+            step_lng = step_lat / max(np.cos(np.radians(la)), 1e-4)
+            lngs = np.arange(-180.0, 180.0, step_lng)
+            rows_lng.append(lngs)
+            rows_lat.append(np.full(lngs.shape, la))
+        # the pole cell itself (the lattice rows stop short of ±90)
+        rows_lat.append(np.array([89.9999 if pole > 0 else -89.9999]))
+        rows_lng.append(np.array([0.0]))
+        cells = np.unique(
+            fk.geo_to_h3(np.concatenate(rows_lat), np.concatenate(rows_lng), res)
+        )
+        return cells[cells != 0]
     if _is_transmeridian(ext):
         ext = ext.copy()
         ext[:, 0] = _shift_lng(ext[:, 0])

@@ -684,3 +684,89 @@ class TestLocalFramePentagonRegion:
                     assert got == want, (hex(int(a)), hex(int(b)), got, want)
                     checked += 1
         assert checked > 100
+
+
+class TestPolarPolyfill:
+    """Pole-containing polygons (beyond the reference: H3 v3.6 itself
+    cannot fill them). Constant-latitude rings make containment
+    enumerable exactly: every ring edge linearly interpolates latitude
+    between equal endpoints, so the true interior of a lat-L polar cap
+    is precisely {centroid lat > L} — checked against the FULL cell
+    enumeration at the target res (uncompacted from the 122 base
+    cells), cell-for-cell."""
+
+    @staticmethod
+    def _all_cells(res):
+        from h3_rs_spark.h3core import hierarchy, indexing
+
+        res0 = indexing.from_components(
+            np.arange(122, dtype=np.int64), 0, np.full((122, 15), 7)
+        )
+        return hierarchy.uncompact(res0, res)
+
+    @staticmethod
+    def _ring(lat, eastward=True, n=12):
+        lngs = np.linspace(-180.0, 180.0, n, endpoint=False)
+        if not eastward:
+            lngs = lngs[::-1]
+        return [(float(lng), float(lat)) for lng in lngs]
+
+    def test_north_cap_exact(self):
+        from h3_rs_spark.h3core import faceijk as fk
+        from h3_rs_spark.h3core import regions
+
+        got = set(regions.polyfill(self._ring(80.0), [], 3).tolist())
+        allc = self._all_cells(3)
+        lat, _ = fk.h3_to_geo(allc)
+        exp = set(allc[lat > 80.0].tolist())
+        assert got == exp and len(exp) > 50
+
+    def test_south_cap_exact(self):
+        from h3_rs_spark.h3core import faceijk as fk
+        from h3_rs_spark.h3core import regions
+
+        # westward winding -> interior left of travel = south side
+        got = set(
+            regions.polyfill(self._ring(-80.0, eastward=False), [], 3).tolist()
+        )
+        allc = self._all_cells(3)
+        lat, _ = fk.h3_to_geo(allc)
+        exp = set(allc[lat < -80.0].tolist())
+        assert got == exp and len(exp) > 50
+
+    def test_polar_annulus_with_polar_hole(self):
+        from h3_rs_spark.h3core import faceijk as fk
+        from h3_rs_spark.h3core import regions
+
+        got = set(
+            regions.polyfill(
+                self._ring(75.0), [self._ring(85.0)], 3
+            ).tolist()
+        )
+        allc = self._all_cells(3)
+        lat, _ = fk.h3_to_geo(allc)
+        exp = set(allc[(lat > 75.0) & ~(lat > 85.0)].tolist())
+        assert got == exp and len(exp) > 50
+
+    def test_polar_cover_split_consistent(self):
+        """polygon_cover over a polar cap: interior/boundary disjoint,
+        every truly-contained centroid is in interior ∪ boundary."""
+        from h3_rs_spark.h3core import faceijk as fk
+        from h3_rs_spark.h3core import regions
+
+        ring = self._ring(82.0)
+        interior, boundary = regions.polygon_cover(ring, [], 3)
+        assert not (set(interior.tolist()) & set(boundary.tolist()))
+        filled = set(regions.polyfill(ring, [], 3).tolist())
+        assert filled <= (set(interior.tolist()) | set(boundary.tolist()))
+        # interior cells must be fully inside: all vertices above 82
+        blat, _ = fk.h3_to_geo_boundary(interior)
+        assert np.nanmin(blat) > 82.0
+
+    def test_non_polar_rings_unaffected(self):
+        """The polar branch must not fire for ordinary polygons: SF
+        golden count is unchanged."""
+        from h3_rs_spark.h3core import regions
+        from h3_rs_spark.sources.datagen import SF_EXTERIOR
+
+        assert regions.polyfill(SF_EXTERIOR, [], 9).shape[0] == 1253
