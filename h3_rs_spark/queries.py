@@ -1417,6 +1417,53 @@ def q38_h3_line_distance(spark, sf_dir):
 Q38_SQL = "SELECT 1 AS lines_minimal, 1 AS all_reachable"
 
 
+def q41_polar_polyfill(spark, sf_dir):
+    """Pole-containing polyfill through the driver gate (capability the
+    reference's H3 v3.6 lacks entirely): north/south caps and a polar
+    annulus at res 3, counts pinned to re-derived goldens and an
+    engine-side exactness flag — each fill must equal the FULL res-3
+    cell enumeration filtered by centroid latitude, cell-for-cell (the
+    constant-latitude rings make that truth enumerable)."""
+    import numpy as np
+
+    from .h3core import faceijk as fk
+    from .h3core import hierarchy, indexing, regions
+
+    def ring(lat, eastward=True, n=12):
+        lngs = np.linspace(-180.0, 180.0, n, endpoint=False)
+        if not eastward:
+            lngs = lngs[::-1]
+        return [(float(x), float(lat)) for x in lngs]
+
+    res0 = indexing.from_components(
+        np.arange(122, dtype=np.int64), 0, np.full((122, 15), 7)
+    )
+    allc = hierarchy.uncompact(res0, 3)
+    lat, _ = fk.h3_to_geo(allc)
+    fixtures = [
+        ("annulus75_85", ring(75.0), [ring(85.0)], (lat > 75) & ~(lat > 85)),
+        ("north80", ring(80.0), [], lat > 80),
+        ("south80", ring(-80.0, eastward=False), [], lat < -80),
+    ]
+    rows = []
+    for name, ext, holes, pred in fixtures:
+        got = regions.polyfill(ext, holes, 3)
+        exact = set(got.tolist()) == set(allc[pred].tolist())
+        rows.append((name, int(got.shape[0]), int(exact)))
+    return spark.createDataFrame(
+        rows, "region string, n_cells long, matches_enumeration long"
+    )
+
+
+Q41_SQL = """
+SELECT * FROM (VALUES
+  ('annulus75_85', 591, 1),
+  ('north80', 293, 1),
+  ('south80', 294, 1))
+AS t(region, n_cells, matches_enumeration)
+"""
+
+
 _Q40_SEQ = [0]
 
 
@@ -1502,4 +1549,5 @@ def catalog():
         "q38_h3_line_distance": (q38_h3_line_distance, Q38_SQL),
         "q39_knn_distributed": (q39_knn_distributed, _q29_sql()),
         "q40_stream_dedup": (q40_stream_dedup, Q40_SQL),
+        "q41_polar_polyfill": (q41_polar_polyfill, Q41_SQL),
     }
