@@ -531,3 +531,50 @@ def test_uncompact_staged_multilevel(spark):
         np.concatenate([ix.to_children(c, 6) for c in cells]).tolist()
     )
     assert got == want
+
+
+class TestPipBuildStrategy:
+    def test_compacted_path_equals_expanded(self, spark, images, monkeypatch):
+        """The cost-based build strategy must not change RESULTS: force
+        the compacted multi-key probe (scale path for continental
+        polygons) and compare with the default expanded single-key
+        probe row-for-row."""
+        from h3_rs_spark.operators import pip_join as pj
+
+        polys = {
+            k: v for k, v in datagen.POLYGONS.items() if v[2] == 9
+        }
+        expanded = set(
+            (r["polygon_id"], r["image_id"])
+            for r in pip_join(spark, images, polys).select(
+                "polygon_id", "image_id"
+            ).collect()
+        )
+        monkeypatch.setattr(pj, "_EXPAND_BUILD_MAX", 0)
+        compacted = set(
+            (r["polygon_id"], r["image_id"])
+            for r in pip_join(spark, images, polys).select(
+                "polygon_id", "image_id"
+            ).collect()
+        )
+        assert compacted == expanded and len(expanded) > 0
+
+
+class TestKnnShufflePath:
+    def test_distributed_no_broadcast_matches(self, spark, images,
+                                              oracle_geo):
+        """broadcast_candidates=False (the huge-query-set shuffle-join
+        path) must return identical rows."""
+        from h3_rs_spark.operators.knn import (
+            knn_join_distributed, knn_oracle,
+        )
+
+        queries = datagen.generate_knn_queries(spark, n=12, k=3)
+        q_pdf = queries.toPandas()
+        got = knn_join_distributed(
+            spark, images, queries, k=3, res=9, broadcast_candidates=False
+        ).toPandas()
+        exp = knn_oracle(oracle_geo, q_pdf, k=3)
+        g = got.sort_values(["query_id", "rank"], ignore_index=True)
+        x = exp.sort_values(["query_id", "rank"], ignore_index=True)
+        assert g["image_id"].tolist() == x["image_id"].tolist()
