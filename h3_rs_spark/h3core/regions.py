@@ -16,8 +16,11 @@ Antimeridian-crossing polygons are supported (detected by a >180 deg
 longitude jump; scan and ray cast shift into the [0,360) domain).
 Pole-CONTAINING polygons are supported beyond the reference (H3 v3.6
 itself cannot fill them): a ring whose longitudes wind a full +-360 deg
-encircles a pole — interior is the side left of travel (GeoJSON
-orientation: net eastward winding encloses the north side) — and both
+encircles a pole — for the EXTERIOR, interior is the side left of
+travel (net eastward winding encloses the north side); a polar HOLE's
+winding is ignored (RFC 7946 holes wind opposite to the exterior, so it
+cannot be trusted) and the hole excludes the exterior pole's cap — and
+both
 the candidate scan (polar-cap lattice, per-row longitude stepping) and
 the containment test (meridian ray toward the contained pole, even
 crossing parity) switch to polar forms. Exactness is pinned by
@@ -135,10 +138,20 @@ def points_in_polygon(
         _polar_pole(h) is not None for h in hls
     ):
         # polar rings: per-ring containment (each ring may be polar or
-        # planar independently — an annulus's hole is itself polar)
+        # planar independently — an annulus's hole is itself polar).
+        # A polar HOLE's own winding is ignored: RFC 7946 holes wind
+        # opposite to the exterior, so trusting the hole's winding would
+        # pick the wrong pole and invert containment. Geometrically a
+        # polar hole inside a polar exterior can only exclude the cap of
+        # the SAME pole the exterior contains — use that pole directly.
+        ext_pole = _polar_pole(ext)
         inside = _ring_contains(lng, lat, ext)
         for hole in hls:
-            inside &= ~_ring_contains(lng, lat, hole)
+            hole_pole = _polar_pole(hole)
+            if hole_pole is not None and ext_pole is not None:
+                inside &= ~_points_in_polar_ring(lng, lat, hole, ext_pole)
+            else:
+                inside &= ~_ring_contains(lng, lat, hole)
         return inside
     if _is_transmeridian(ext):
         # shift polygon and points into the [0, 360) longitude domain so

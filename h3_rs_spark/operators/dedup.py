@@ -50,6 +50,12 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     if not text:
         return np.array([0], dtype=np.uint64)
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) == 0:
+        # non-empty str can still encode to zero bytes (lone surrogates
+        # under errors='ignore', seen in scraped corpora); the Horner
+        # fold below would build a negative-length array. Hash 0 matches
+        # the pre-vectorization sequential loop's result.
+        return np.array([0], dtype=np.uint64)
     if len(b) < n:
         # vectorized Horner fold: h = sum b_i * base^(L-1-i)  (mod 2^64),
         # bit-identical to the sequential h = h*base + b_i loop

@@ -414,14 +414,18 @@ Q13_SQL = "SELECT COUNT(*) AS n_docs, 1 AS fp_matches_texts FROM documents"
 
 
 def _dup_injected_docs(spark, sf_dir):
-    """documents ∪ exact copies of doc_id<40 at doc_id+1e6 — the same
-    construction Q14/Q15's oracle SQL performs, so the md5-exact
-    duplicate pair set is recomputable cross-engine at any sf (the
-    sf0.01 corpus has no natural exact dups; injection guarantees a
-    non-trivial recall target)."""
+    """documents ∪ exact copies of doc_id<40 at doc_id+(max(doc_id)+1)
+    — the same construction Q14/Q15's oracle SQL performs (scalar
+    subquery), so the md5-exact duplicate pair set is recomputable
+    cross-engine at any sf (the sf0.01 corpus has no natural exact
+    dups; injection guarantees a non-trivial recall target). The shift
+    is derived from the data, not a constant, so injected ids can never
+    collide with natural ids at any scale factor and originals always
+    sort before their copies."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = int(d.agg(F.max("doc_id")).first()[0]) + 1
     dup = d.where(F.col("doc_id") < 40).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+        "doc_id", F.col("doc_id") + F.lit(shift)
     )
     return d.unionByName(dup)
 
@@ -430,7 +434,8 @@ _DUP_CORPUS_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 40
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM documents WHERE doc_id < 40
 ), hs AS (SELECT doc_id, md5(text) AS h FROM corpus),
 ep AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
        FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id)
@@ -558,12 +563,14 @@ SELECT * FROM (
 def q17_embedding_near_dup(spark, sf_dir):
     """Hyperplane-LSH embedding near-dup with the q14-style recall
     oracle: exact duplicates are injected (vec_id<40 copied to
-    vec_id+1e6), identical vectors land in every band's bucket with
-    cos_sim exactly 1.0, and DuckDB recomputes the list-equality pair
-    set the pipeline must fully recover."""
+    vec_id+(max(vec_id)+1), data-derived so no collision at any sf),
+    identical vectors land in every band's bucket with cos_sim exactly
+    1.0, and DuckDB recomputes the list-equality pair set the pipeline
+    must fully recover."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shift = int(e.agg(F.max("vec_id")).first()[0]) + 1
     dup = e.where(F.col("vec_id") < 40).withColumn(
-        "vec_id", F.col("vec_id") + 1_000_000
+        "vec_id", F.col("vec_id") + F.lit(shift)
     )
     corpus = e.unionByName(dup)
     pairs = dedup.embedding_near_dup(corpus, cos_threshold=0.25).persist()
@@ -606,8 +613,9 @@ Q17_SQL = """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
-  WHERE vec_id < 40
+  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+         embedding
+  FROM embeddings WHERE vec_id < 40
 ), ep AS (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b
   FROM corpus x JOIN corpus y
@@ -1470,29 +1478,40 @@ _Q40_SEQ = [0]
 def q40_stream_dedup(spark, sf_dir):
     """Streaming first-seen-wins exact dedup (applyInPandasWithState
     keyed by content hash, availableNow drain) over the dup-injected
-    corpus: every document is re-read with doc_id+1e6, so each hash
-    group holds the original plus a copy. Cross-engine oracle: group
-    count and total row count are plain SQL over documents, and
-    first-seen-wins means every kept id is the original (< 1e6) —
-    DuckDB recomputes all three."""
+    corpus: every document is re-read with doc_id shifted by
+    max(doc_id)+1 (data-derived, collision-free at any sf), so each
+    hash group holds the original plus a copy. Cross-engine oracle:
+    group count and total row count are plain SQL over documents, and
+    first-seen-wins means every kept id is an original (<= max natural
+    id) — DuckDB recomputes all three."""
     import shutil
     import tempfile
 
     from .streaming.dedup_stream import run_dedup_available_now
 
+    max_id = int(
+        _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    )
     src = tempfile.mkdtemp(prefix="q40src_")
-    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/part-0.parquet")
-    _Q40_SEQ[0] += 1
-    out = run_dedup_available_now(
-        spark, src, inject_dups=True, name=f"q40_dedup_{_Q40_SEQ[0]}"
-    )
-    return out.agg(
-        F.count("*").alias("n_groups"),
-        F.sum("dup_count").cast("long").alias("n_docs"),
-        F.sum((F.col("keep_id") < 1_000_000).cast("long")).alias(
-            "n_keep_original"
-        ),
-    )
+    try:
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/part-0.parquet")
+        _Q40_SEQ[0] += 1
+        out = run_dedup_available_now(
+            spark, src, inject_dups=True, name=f"q40_dedup_{_Q40_SEQ[0]}",
+            dup_shift=max_id + 1,
+        )
+        # availableNow has fully drained and the memory sink is
+        # driver-resident, so the source dir can be removed even though
+        # the returned aggregation is still lazy
+        return out.agg(
+            F.count("*").alias("n_groups"),
+            F.sum("dup_count").cast("long").alias("n_docs"),
+            F.sum((F.col("keep_id") <= max_id).cast("long")).alias(
+                "n_keep_original"
+            ),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 Q40_SQL = """

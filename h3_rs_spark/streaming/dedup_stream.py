@@ -74,7 +74,7 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
 
 def run_dedup_available_now(
     spark: SparkSession, src_path: str, inject_dups: bool = False,
-    name: str = "stream_dedup",
+    name: str = "stream_dedup", dup_shift: int = 1_000_000,
 ) -> DataFrame:
     """Drain the documents dir with availableNow; returns the FINAL
     per-hash rows (update mode appends one row per key per batch to the
@@ -82,11 +82,13 @@ def run_dedup_available_now(
 
     inject_dups unions a shifted-id re-read of the same source so every
     document has an exact duplicate (guaranteed non-trivial dedup at
-    scale factors whose corpus has no natural dups)."""
+    scale factors whose corpus has no natural dups). Callers must pass
+    a dup_shift > max natural doc_id (q40 derives max(doc_id)+1 from
+    the data) or shifted ids can collide with real ones."""
     src = docs_stream(spark, src_path)
     if inject_dups:
         copy = docs_stream(spark, src_path).withColumn(
-            "doc_id", F.col("doc_id") + 1_000_000
+            "doc_id", F.col("doc_id") + F.lit(dup_shift)
         )
         src = src.unionByName(copy)
     q = (
@@ -97,7 +99,13 @@ def run_dedup_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a partially-drained memory sink would yield silently wrong
+        # keep_id/dup_count — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            "stream_dedup availableNow drain did not finish within 300s"
+        )
     per_key = (
         spark.table(name)
         .groupBy("content_hash")
@@ -107,3 +115,47 @@ def run_dedup_available_now(
         )
     )
     return per_key
+
+
+def run_dedup_to_path(
+    spark: SparkSession, src_path: str, out_path: str,
+    checkpoint_path: str, timeout_s: int = 300,
+) -> DataFrame:
+    """Distributed-sink form of run_dedup_available_now: the update
+    stream lands in parquet via foreachBatch append (each micro-batch's
+    per-key updates written with a batch_id), and the final per-key
+    state is recovered by a distributed last-update-wins aggregation
+    over the sink — no driver memory sink, so the result set can be
+    arbitrarily large (the 100 TB shape). Returns the final
+    (content_hash, keep_id, dup_count) DataFrame read from out_path."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        dedup_stream(docs_stream(spark, src_path))
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_dedup parquet drain did not finish within {timeout_s}s"
+        )
+    # last update per key wins: dup_count is monotone non-decreasing and
+    # keep_id non-increasing across batches, so min/max == latest batch
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("content_hash")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.max("dup_count").alias("dup_count"),
+        )
+    )

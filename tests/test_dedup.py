@@ -81,6 +81,52 @@ class TestBucketCapSemantics:
         assert stats["hot_buckets"] > 0
         assert stats["skipped_pairs"] > 0
 
+    def test_recall_at_cap_measured(self, spark):
+        """The star-pairing recall trade, MEASURED (VERDICT r3 #6): an
+        11-member hot bucket holds C(11,2)=55 true near-dup pairs; with
+        cap=5 a single band recovers only the 10 star pairs through the
+        min-id anchor — pair recall 10/55 ≈ 0.18 (connectivity 100%).
+        Adding a second band whose buckets stay under the cap restores
+        all-pairs: recall 55/55 = 1.0. This is why the LSH pipelines
+        run multiple bands: the cap bounds worst-case work per bucket
+        while cross-band redundancy recovers pair recall."""
+        members = list(range(1, 12))
+        true_pairs = {
+            (a, b) for a in members for b in members if a < b
+        }
+        assert len(true_pairs) == 55
+
+        hot_only = [(i, 0, 100) for i in members]
+        one_band = spark.createDataFrame(
+            pd.DataFrame(hot_only, columns=["id", "band", "bucket"])
+        )
+        got1 = _pairs_set(
+            dedup._bucket_pairs(one_band, ["band", "bucket"], cap=5)
+        )
+        recall1 = len(got1 & true_pairs) / len(true_pairs)
+        assert got1 == {(1, i) for i in members[1:]}
+        assert recall1 == pytest.approx(10 / 55)
+
+        # add a second band with the same membership: at cap=5 it is
+        # just as hot (recall unchanged — redundant HOT bands buy
+        # nothing); raising the cap above the bucket size makes it a
+        # cool band and all-pairs recall returns
+        two_bands = hot_only + [(i, 1, 200) for i in members]
+        df2 = spark.createDataFrame(
+            pd.DataFrame(two_bands, columns=["id", "band", "bucket"])
+        )
+        got2 = _pairs_set(
+            dedup._bucket_pairs(df2, ["band", "bucket"], cap=5)
+        )
+        # band 1's bucket is also hot at cap=5 -> still star-only
+        recall2_hotcap = len(got2 & true_pairs) / len(true_pairs)
+        assert recall2_hotcap == pytest.approx(10 / 55)
+        got3 = _pairs_set(
+            dedup._bucket_pairs(df2, ["band", "bucket"], cap=11)
+        )
+        recall3 = len(got3 & true_pairs) / len(true_pairs)
+        assert recall3 == 1.0
+
 
 class TestSimhashVectorized:
     def test_matches_scalar_reference(self, spark):
@@ -160,3 +206,46 @@ class TestStreamDedup:
         assert g["dup_count"].tolist() == x["dup_count"].tolist()
         # first-seen-wins: every kept id is the pre-injection original
         assert (g["keep_id"] < 1_000_000).all()
+
+    def test_to_path_matches_batch_exact_dedup(self, spark, tmp_path):
+        """The distributed parquet sink (foreachBatch append + final
+        last-update-wins aggregation) must reproduce the batch
+        exact_dedup result — the 100 TB shape of q40 where per-hash
+        rows never funnel through a driver memory sink."""
+        import shutil
+
+        from h3_rs_spark.operators.dedup import exact_dedup
+        from h3_rs_spark.streaming.dedup_stream import run_dedup_to_path
+
+        src = tmp_path / "docs_src2"
+        src.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/documents.parquet",
+            src / "part-0.parquet",
+        )
+        got = run_dedup_to_path(
+            spark,
+            str(src),
+            str(tmp_path / "dedup_out"),
+            str(tmp_path / "dedup_ckpt"),
+        ).toPandas()
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        exp = exact_dedup(docs).toPandas()
+
+        g = got.sort_values("content_hash", ignore_index=True)
+        x = exp.sort_values("content_hash", ignore_index=True)
+        assert g["content_hash"].tolist() == x["content_hash"].tolist()
+        assert g["keep_id"].tolist() == x["keep_id"].tolist()
+        assert g["dup_count"].tolist() == x["dup_count"].tolist()
+
+
+class TestShingleEdgeCases:
+    def test_zero_byte_encoding_survives(self):
+        """A non-empty str that UTF-8-encodes to zero bytes (lone
+        surrogate under errors='ignore', seen in scraped corpora) must
+        hash to 0 like the empty string, not crash the Horner fold
+        (ADVICE r3)."""
+        assert dedup._shingle_hashes("\ud800", 3).tolist() == [0]
+        assert dedup._shingle_hashes("\udfff\ud800", 5).tolist() == [0]
+        assert dedup._shingle_hashes("", 3).tolist() == [0]

@@ -748,6 +748,28 @@ class TestPolarPolyfill:
         exp = set(allc[(lat > 75.0) & ~(lat > 85.0)].tolist())
         assert got == exp and len(exp) > 50
 
+    def test_polar_annulus_rfc7946_hole_winding(self):
+        """RFC 7946 holes wind OPPOSITE to the exterior. Containment
+        must not depend on the hole's winding: a polar hole inside a
+        polar exterior always excludes the exterior pole's cap, so an
+        eastward exterior at 75N with a westward (clockwise) hole at
+        85N yields the same annulus as the same-winding form above."""
+        from h3_rs_spark.h3core import faceijk as fk
+        from h3_rs_spark.h3core import regions
+
+        same = set(
+            regions.polyfill(self._ring(75.0), [self._ring(85.0)], 3).tolist()
+        )
+        opposite = set(
+            regions.polyfill(
+                self._ring(75.0), [self._ring(85.0, eastward=False)], 3
+            ).tolist()
+        )
+        allc = self._all_cells(3)
+        lat, _ = fk.h3_to_geo(allc)
+        exp = set(allc[(lat > 75.0) & ~(lat > 85.0)].tolist())
+        assert opposite == same == exp and len(exp) > 50
+
     def test_polar_cover_split_consistent(self):
         """polygon_cover over a polar cap: interior/boundary disjoint,
         every truly-contained centroid is in interior ∪ boundary."""
