@@ -13,6 +13,8 @@ re-join — each round touches only the remaining queries' cells.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -113,9 +115,9 @@ def knn_join(
 _PRECHECK_MIN_QUERIES = 4
 
 
-def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
-    """Per-query starting (res_eff, ring) from one coarse density job."""
-    res_pre = max(0, res - 4)
+def _disk_counts(spark, images, q_pdf, res_pre, cell_col, res):
+    """Fact-row count within each query's k=1 disk at `res_pre` — one
+    broadcast-join count job."""
     q_cells = traversal.fk.geo_to_h3(
         q_pdf["lat"].to_numpy(), q_pdf["lng"].to_numpy(), res_pre
     )
@@ -135,37 +137,62 @@ def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
         if res_pre == res
         else h3_to_parent_col(images[cell_col], res_pre)
     )
-    cnt = (
+    return (
         images.join(pre, probe_key == pre["pre_cell"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n"))
         .toPandas()
         .set_index("query_id")["n"]
     )
-    # disk of 7 pre-cells covers ~7^(res-res_pre+1) base-res cells
-    cover = 7.0 ** (res - res_pre + 1)
+
+
+def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
+    """Per-query starting (res_eff, ring) from coarse density jobs.
+
+    Two-stage: queries whose res-4 disk holds fact rows plan from that
+    density; zero-density (ocean) queries re-probe at res-8 with one
+    more tiny count job, so they start at the level that actually
+    contains their neighbors instead of cascading through expand-
+    escalate rounds — each avoided round is a full fact-relation probe
+    pass (this collapsed the bench knn_images case from 3 rounds to 1)."""
+    stages = [max(0, res - 4)]
+    if stages[0] > 0:
+        stages.append(max(0, stages[0] - 4))
     plans = {}
-    for qid in q_pdf["query_id"]:
-        n = float(cnt.get(qid, 0))
-        density = n / cover  # fact rows per base-res cell
-        if density > 0:
-            # ring holding ~3k expected rows (cells(r) ~= 3r^2)
-            r = int(np.ceil(1.3 * np.sqrt(k / density))) + 1
-        else:
-            # nothing within the coarse disk: start at the coarse res
-            r = _COARSEN_AT * 7 ** ((res - res_pre) // 2)
-        r = max(r, initial_ring)
-        res_eff = res
-        while r > _COARSEN_AT and res_eff > 0:
-            res_eff = max(0, res_eff - 2)
-            r = max(1, r // 7)
-        if res_eff < res:
-            # coarse starts lost margin to the integer //7 escalation;
-            # +2 rings at a coarse res is cheap (cells ~ 3r^2 of FEW
-            # coarse cells) and usually saves a whole extra round —
-            # each round costs a full fact-relation probe pass
-            r = min(r + 2, _COARSEN_AT)
-        plans[qid] = (res_eff, r)
+    remaining = q_pdf
+    for si, rp in enumerate(stages):
+        cnt = _disk_counts(spark, images, remaining, rp, cell_col, res)
+        # disk of 7 pre-cells covers ~7^(res-rp+1) base-res cells
+        cover = 7.0 ** (res - rp + 1)
+        misses = []
+        last_stage = si == len(stages) - 1
+        for qid in remaining["query_id"]:
+            n = float(cnt.get(qid, 0))
+            if n == 0 and not last_stage:
+                misses.append(qid)
+                continue
+            density = n / cover  # fact rows per base-res cell
+            if density > 0:
+                # ring holding ~3k expected rows (cells(r) ~= 3r^2)
+                r = int(np.ceil(1.3 * np.sqrt(k / density))) + 1
+            else:
+                # nothing even in the coarsest disk: start there
+                r = _COARSEN_AT * 7 ** ((res - rp) // 2)
+            r = max(r, initial_ring)
+            res_eff = res
+            while r > _COARSEN_AT and res_eff > 0:
+                res_eff = max(0, res_eff - 2)
+                r = max(1, r // 7)
+            if res_eff < res:
+                # coarse starts lost margin to the integer //7
+                # escalation; +2 rings at a coarse res is cheap (cells
+                # ~ 3r^2 of FEW coarse cells) and usually saves a whole
+                # extra round
+                r = min(r + 2, _COARSEN_AT)
+            plans[qid] = (res_eff, r)
+        if not misses:
+            break
+        remaining = q_pdf[q_pdf["query_id"].isin(set(misses))]
     return plans
 
 
@@ -379,7 +406,16 @@ def knn_join_distributed(
         # into the persisted topk, so the escalate/checkpoint below
         # (skipped entirely on the final round) re-evaluates only the
         # cheap anti-join over the cached topk.
-        if state.count() == 0:
+        n_remaining = state.count()
+        if os.environ.get("KNN_DEBUG"):
+            import time as _time
+
+            print(
+                f"[knn] round levels={levels} n_remaining={n_remaining}"
+                f" t={_time.time():.1f}",
+                flush=True,
+            )
+        if n_remaining == 0:
             break
         state = _escalate(
             state.select(
