@@ -110,9 +110,18 @@ def pip_join(
         )
         probe = probe.where(F.col("bc0").isin(bc0s))
 
-    # one JVM-side parent key per distinct build resolution
-    keys = F.array(*[h3_to_parent_col(cell_col, r) for r in build_res])
-    probe = probe.withColumn("probe_key", F.explode(keys))
+    # one JVM-side parent key per distinct build resolution; the
+    # single-res case (every expanded build, and any single-res
+    # compaction) skips the array+explode Generate node entirely — the
+    # generator copies every probe row, a pure bandwidth tax when
+    # there is only one key (r4 narrowed-probe work)
+    if len(build_res) == 1:
+        probe = probe.withColumn(
+            "probe_key", h3_to_parent_col(cell_col, build_res[0])
+        )
+    else:
+        keys = F.array(*[h3_to_parent_col(cell_col, r) for r in build_res])
+        probe = probe.withColumn("probe_key", F.explode(keys))
 
     joined = probe.join(build, probe["probe_key"] == build["poly_cell"], "inner")
 
