@@ -27,7 +27,18 @@ from ..h3core import faceijk, indexing, traversal
 
 
 def geo_to_h3_udf(res: int):
-    """(lat, lng) degrees -> cell int64 (0 for invalid input)."""
+    """(lat, lng) degrees -> cell int64 (0 for invalid input).
+
+    Marked asNondeterministic as an OPTIMIZER BARRIER, not a semantics
+    statement (the encode is pure): when the cell column feeds a join,
+    Catalyst pushes the join's isnotnull(f(cell)) constraint through
+    the defining projection, re-embedding the UDF so the optimized
+    plan evaluates the Arrow encode TWICE per probe row (found r4 in
+    the flagship PIP plan: 8.4M -> 4.7M rows/s; same shape in the kNN
+    probe). Every call site assigns via withColumn and consumers
+    reference only the resulting attribute, so the marking costs
+    nothing; it just forbids the optimizer from duplicating or
+    relocating the eval."""
 
     @F.pandas_udf(LongType())
     def _f(lat: pd.Series, lng: pd.Series) -> pd.Series:
@@ -38,7 +49,7 @@ def geo_to_h3_udf(res: int):
         )
         return pd.Series(h)
 
-    return _f
+    return _f.asNondeterministic()
 
 
 _GEO_STRUCT = StructType(

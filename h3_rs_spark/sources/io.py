@@ -43,18 +43,11 @@ def with_geo(df: DataFrame, res: int = 9) -> DataFrame:
     df = df.withColumn("lat", ll.getItem(0).cast("double")).withColumn(
         "lng", ll.getItem(1).cast("double")
     )
-    # asNondeterministic is an OPTIMIZER BARRIER, not a semantics change
-    # (the encode is pure): without it, a downstream join's
-    # isnotnull(f(cell)) constraint gets pushed through this projection
-    # and DUPLICATES the Arrow encode eval — measured 2x the python
-    # cost of the whole flagship pipeline (r4; plan showed two
-    # ArrowEvalPython nodes for one UDF). Consumers only ever reference
-    # the `cell` ATTRIBUTE, so analysis rules are unaffected, and bc0
-    # partition pruning reads the on-disk partition column, not this
-    # expression.
-    df = df.withColumn(
-        "cell", geo_to_h3_udf(res).asNondeterministic()("lat", "lng")
-    )
+    # geo_to_h3_udf is nondeterministic-marked at the source (optimizer
+    # barrier against join-constraint pushdown duplicating the Arrow
+    # eval — see functions/udfs.py); bc0 partition pruning reads the
+    # on-disk partition column, not this expression.
+    df = df.withColumn("cell", geo_to_h3_udf(res)("lat", "lng"))
     return df.withColumn("bc0", h3_base_cell(h3_to_parent_col("cell", 0)))
 
 
