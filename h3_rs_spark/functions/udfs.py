@@ -152,6 +152,40 @@ def k_ring_dyn_udf():
     return _f
 
 
+def geo_disk_dyn_udf():
+    """(lat, lng, res, ring) -> array<long>: the full k-ring disk of
+    the point's cell at a per-ROW (res, ring). Fuses the dynamic-res
+    encode and the dynamic-radius traversal into ONE Arrow stage so a
+    multi-level kNN round builds its whole candidate relation in a
+    single python pass (one stage, one broadcast) instead of one per
+    distinct resolution. Each batch groups by distinct (res, ring) so
+    every group is one vectorized encode + traversal call."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(
+        lat: pd.Series, lng: pd.Series, res: pd.Series, ring: pd.Series
+    ) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        ln = lng.to_numpy(dtype=np.float64)
+        rs = res.to_numpy(dtype=np.int64)
+        rg = ring.to_numpy(dtype=np.int64)
+        out = [None] * len(la)
+        combos = np.unique(np.stack([rs, rg], axis=1), axis=0)
+        for rv, gv in combos:
+            idx = np.flatnonzero((rs == rv) & (rg == gv))
+            cells = faceijk.geo_to_h3(la[idx], ln[idx], int(rv))
+            owner, disk = traversal.k_ring(cells, int(gv))
+            lists = [[] for _ in range(len(idx))]
+            for o, cc in zip(owner.tolist(), disk.tolist()):
+                lists[o].append(cc)
+            for i, lst in zip(idx.tolist(), lists):
+                out[i] = lst
+        return pd.Series(out)
+
+    # same optimizer-barrier rationale as geo_to_h3_udf
+    return _f.asNondeterministic()
+
+
 def h3_to_children_udf(child_res: int):
     @F.pandas_udf(ArrayType(LongType()))
     def _f(cell: pd.Series) -> pd.Series:

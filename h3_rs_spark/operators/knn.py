@@ -115,84 +115,98 @@ def knn_join(
 _PRECHECK_MIN_QUERIES = 4
 
 
-def _disk_counts(spark, images, q_pdf, res_pre, cell_col, res):
-    """Fact-row count within each query's k=1 disk at `res_pre` — one
-    broadcast-join count job."""
-    q_cells = traversal.fk.geo_to_h3(
-        q_pdf["lat"].to_numpy(), q_pdf["lng"].to_numpy(), res_pre
-    )
-    owner, cells, _ = traversal.k_ring_distances(q_cells, 1)
-    pre = F.broadcast(
-        spark.createDataFrame(
+def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
+    """Per-query starting (res_eff, ring) from ONE coarse density job.
+
+    Two-scale in one pass: every query's k=1 disk is counted at BOTH
+    res-4 and res-8 (the probe explodes a stage-tagged parent key per
+    fact row, so it is still a single scan + broadcast join + agg).
+    Queries whose res-4 disk holds fact rows plan from that density;
+    zero-density (ocean) queries fall back to the res-8 count, so they
+    start at the level that actually contains their neighbors instead
+    of cascading through expand-escalate rounds — each avoided round
+    is a full fact-relation probe pass (this collapsed the bench
+    knn_images case from 3 rounds to 1)."""
+    stages = [max(0, res - 4)]
+    if stages[0] > 0:
+        stages.append(max(0, stages[0] - 4))
+
+    pre_frames = []
+    for si, rp in enumerate(stages):
+        q_cells = traversal.fk.geo_to_h3(
+            q_pdf["lat"].to_numpy(), q_pdf["lng"].to_numpy(), rp
+        )
+        owner, cells, _ = traversal.k_ring_distances(q_cells, 1)
+        pre_frames.append(
             pd.DataFrame(
                 {
                     "query_id": q_pdf["query_id"].to_numpy()[owner],
+                    "stage": si,
                     "pre_cell": cells,
                 }
             )
         )
+    pre = F.broadcast(
+        spark.createDataFrame(pd.concat(pre_frames, ignore_index=True))
     )
-    probe_key = (
-        images[cell_col]
-        if res_pre == res
-        else h3_to_parent_col(images[cell_col], res_pre)
+    keyed = images.withColumn(
+        "_pre",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(si).alias("stage"),
+                        (
+                            images[cell_col]
+                            if rp == res
+                            else h3_to_parent_col(images[cell_col], rp)
+                        ).alias("key"),
+                    )
+                    for si, rp in enumerate(stages)
+                ]
+            )
+        ),
     )
-    return (
-        images.join(pre, probe_key == pre["pre_cell"])
-        .groupBy("query_id")
+    cnt = (
+        keyed.join(
+            pre,
+            (keyed["_pre.stage"] == pre["stage"])
+            & (keyed["_pre.key"] == pre["pre_cell"]),
+        )
+        .groupBy("query_id", pre["stage"])
         .agg(F.count("*").alias("n"))
         .toPandas()
-        .set_index("query_id")["n"]
+        .set_index(["query_id", "stage"])["n"]
     )
 
-
-def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
-    """Per-query starting (res_eff, ring) from coarse density jobs.
-
-    Two-stage: queries whose res-4 disk holds fact rows plan from that
-    density; zero-density (ocean) queries re-probe at res-8 with one
-    more tiny count job, so they start at the level that actually
-    contains their neighbors instead of cascading through expand-
-    escalate rounds — each avoided round is a full fact-relation probe
-    pass (this collapsed the bench knn_images case from 3 rounds to 1)."""
-    stages = [max(0, res - 4)]
-    if stages[0] > 0:
-        stages.append(max(0, stages[0] - 4))
     plans = {}
-    remaining = q_pdf
-    for si, rp in enumerate(stages):
-        cnt = _disk_counts(spark, images, remaining, rp, cell_col, res)
+    for qid in q_pdf["query_id"]:
+        rp, n = stages[0], float(cnt.get((qid, 0), 0))
+        if n < k and len(stages) > 1:
+            # fewer than k rows in the whole fine disk: the answer
+            # extends beyond it, so the coarse-disk density is the
+            # better estimator (n==0 is the ocean case)
+            rp, n = stages[1], float(cnt.get((qid, 1), 0))
         # disk of 7 pre-cells covers ~7^(res-rp+1) base-res cells
         cover = 7.0 ** (res - rp + 1)
-        misses = []
-        last_stage = si == len(stages) - 1
-        for qid in remaining["query_id"]:
-            n = float(cnt.get(qid, 0))
-            if n == 0 and not last_stage:
-                misses.append(qid)
-                continue
-            density = n / cover  # fact rows per base-res cell
-            if density > 0:
-                # ring holding ~3k expected rows (cells(r) ~= 3r^2)
-                r = int(np.ceil(1.3 * np.sqrt(k / density))) + 1
-            else:
-                # nothing even in the coarsest disk: start there
-                r = _COARSEN_AT * 7 ** ((res - rp) // 2)
-            r = max(r, initial_ring)
-            res_eff = res
-            while r > _COARSEN_AT and res_eff > 0:
-                res_eff = max(0, res_eff - 2)
-                r = max(1, r // 7)
-            if res_eff < res:
-                # coarse starts lost margin to the integer //7
-                # escalation; +2 rings at a coarse res is cheap (cells
-                # ~ 3r^2 of FEW coarse cells) and usually saves a whole
-                # extra round
-                r = min(r + 2, _COARSEN_AT)
-            plans[qid] = (res_eff, r)
-        if not misses:
-            break
-        remaining = q_pdf[q_pdf["query_id"].isin(set(misses))]
+        density = n / cover  # fact rows per base-res cell
+        if density > 0:
+            # ring holding ~3k expected rows (cells(r) ~= 3r^2)
+            r = int(np.ceil(1.3 * np.sqrt(k / density))) + 1
+        else:
+            # nothing even in the coarsest disk: start there
+            r = _COARSEN_AT * 7 ** ((res - rp) // 2)
+        r = max(r, initial_ring)
+        res_eff = res
+        while r > _COARSEN_AT and res_eff > 0:
+            res_eff = max(0, res_eff - 2)
+            r = max(1, r // 7)
+        if res_eff < res:
+            # coarse starts lost margin to the integer //7 escalation;
+            # +2 rings at a coarse res is cheap (cells ~ 3r^2 of FEW
+            # coarse cells) and usually saves a whole extra round
+            r = min(r + 2, _COARSEN_AT)
+        plans[qid] = (res_eff, r)
     return plans
 
 
@@ -246,7 +260,7 @@ def knn_join_distributed(
     delivers its plans this way); otherwise every query starts at
     (res, initial_ring).
     """
-    from ..functions.udfs import geo_to_h3_udf, k_ring_dyn_udf
+    from ..functions.udfs import geo_disk_dyn_udf
 
     def _escalate(df):
         # statically-unrolled per-query resolution escalation (res
@@ -311,38 +325,48 @@ def knn_join_distributed(
             ]
         if not levels:
             break
-        parts = []
-        for re_ in levels:
-            qs = state.where(F.col("res_eff") == re_).withColumn(
-                "q_cell", geo_to_h3_udf(re_)("lat", "lng")
-            )
-            cand = qs.select(
-                "query_id",
-                F.col("lat").alias("q_lat"),
-                F.col("lng").alias("q_lng"),
-                "ring",
-                "res_eff",
-                F.explode(k_ring_dyn_udf()("q_cell", "ring")).alias(
-                    "cand_cell"
-                ),
-            )
-            if broadcast_candidates:
-                cand = F.broadcast(cand)
-            probe_key = (
+        # ONE candidate relation for all levels: the fused dynamic-res
+        # disk UDF builds every query's candidates in a single Arrow
+        # stage and a single broadcast (the per-level loop paid one
+        # python stage + one broadcast-build job per distinct res —
+        # measured as the dominant per-round cost for mixed-level
+        # batches). The probe side derives one parent key per distinct
+        # level, the same multi-res probe design as pip_join; keys at
+        # different res are distinct int64s, so no cross-level
+        # collisions, and the single-level case keeps the direct key.
+        cand = state.select(
+            "query_id",
+            F.col("lat").alias("q_lat"),
+            F.col("lng").alias("q_lng"),
+            "ring",
+            "res_eff",
+            F.explode(
+                geo_disk_dyn_udf()("lat", "lng", "res_eff", "ring")
+            ).alias("cand_cell"),
+        )
+        if broadcast_candidates:
+            cand = F.broadcast(cand)
+
+        def _key_at(level):
+            return (
                 images[cell_col]
-                if re_ == res
-                else h3_to_parent_col(images[cell_col], re_)
+                if level == res
+                else h3_to_parent_col(images[cell_col], level)
             )
-            parts.append(
-                images.join(cand, probe_key == cand["cand_cell"], "inner")
-                .select(
-                    "image_id", "lat", "lng", "query_id", "q_lat",
-                    "q_lng", "ring", "res_eff",
-                )
+
+        if len(levels) == 1:
+            probe = images.withColumn("probe_key", _key_at(levels[0]))
+        else:
+            probe = images.withColumn(
+                "probe_key",
+                F.explode(F.array(*[_key_at(L) for L in levels])),
             )
-        matched = parts[0]
-        for p in parts[1:]:
-            matched = matched.unionByName(p)
+        matched = probe.join(
+            cand, F.col("probe_key") == cand["cand_cell"], "inner"
+        ).select(
+            "image_id", "lat", "lng", "query_id", "q_lat", "q_lng",
+            "ring", "res_eff",
+        )
         # per-query stats (_n, _mx over the kept top-k rows) ride the
         # SAME window partition key as the ranking, so the round needs
         # exactly ONE shuffle: no stats groupBy and no state-x-stats
