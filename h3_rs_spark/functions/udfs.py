@@ -152,6 +152,50 @@ def k_ring_dyn_udf():
     return _f
 
 
+_HEX_RANGES_TYPE = StructType(
+    [
+        StructField("ok", BooleanType()),
+        StructField("disks", ArrayType(ArrayType(LongType()))),
+    ]
+)
+
+
+def hex_ranges_udf(k: int):
+    """array<origin cells> -> struct<ok, disks>: the reference's only
+    multi-origin traversal (hexRanges, h3-sys/src/ffi.rs:120-126) as a
+    single UDF call. disks[i] is origin i's full k-disk in k_ring
+    order; ok mirrors the C contract — FALSE when any disk touches a
+    pentagon (the C call fails wholesale), in which case disks still
+    carries the exact cell sets so callers can choose the lenient
+    reading. One vectorized traversal over the batch's concatenated
+    origins, not a per-origin loop."""
+
+    @F.pandas_udf(_HEX_RANGES_TYPE)
+    def _f(origins: pd.Series) -> pd.DataFrame:
+        oks, diskss = [], []
+        lens = np.array(
+            [0 if o is None else len(o) for o in origins], dtype=np.int64
+        )
+        flat = np.concatenate(
+            [np.asarray(o, dtype=np.int64) for o in origins if o is not None]
+        ) if lens.sum() else np.empty(0, dtype=np.int64)
+        owner, cells, ok = traversal.hex_range(flat, k) if len(flat) else (
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, bool),
+        )
+        per_origin = [[] for _ in range(len(flat))]
+        for o, c in zip(owner.tolist(), cells.tolist()):
+            per_origin[o].append(c)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        for i in range(len(origins)):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            oks.append(bool(ok[lo:hi].all()) if hi > lo else True)
+            diskss.append(per_origin[lo:hi])
+        return pd.DataFrame({"ok": oks, "disks": diskss})
+
+    return _f
+
+
 def geo_disk_dyn_udf():
     """(lat, lng, res, ring) -> array<long>: the full k-ring disk of
     the point's cell at a per-ROW (res, ring). Fuses the dynamic-res

@@ -578,3 +578,54 @@ class TestKnnShufflePath:
         g = got.sort_values(["query_id", "rank"], ignore_index=True)
         x = exp.sort_values(["query_id", "rank"], ignore_index=True)
         assert g["image_id"].tolist() == x["image_id"].tolist()
+
+
+class TestHexRanges:
+    def test_multi_origin_disks_and_pentagon_contract(self, spark):
+        """hexRanges (the reference's only multi-origin traversal,
+        h3-sys/src/ffi.rs:120-126) as one UDF call: disks match
+        per-origin k_ring exactly; ok=False iff any disk touches a
+        pentagon (the C call fails wholesale)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from h3_rs_spark.functions.udfs import hex_ranges_udf
+        from h3_rs_spark.h3core import indexing, traversal
+        from h3_rs_spark.h3core.constants import PENTAGON_BASE_CELLS
+
+        hex_a = 0x8928308280FFFFF
+        hex_b = 0x89283082803FFFF
+        digits = np.full((1, 15), 7, dtype=np.int64)
+        digits[:, :9] = 0
+        pent = int(
+            indexing.from_components(
+                PENTAGON_BASE_CELLS[:1].astype(np.int64), 9, digits
+            )[0]
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "row_id": [0, 1],
+                    "origins": [[hex_a, hex_b], [hex_a, pent]],
+                }
+            )
+        )
+        out = (
+            df.withColumn("r", hex_ranges_udf(2)("origins"))
+            .select("row_id", "r.ok", "r.disks")
+            .orderBy("row_id")
+            .collect()
+        )
+        # clean row: ok, each disk == that origin's exact k_ring set
+        assert out[0]["ok"] is True
+        for origin, disk in zip([hex_a, hex_b], out[0]["disks"]):
+            _, exp = traversal.k_ring(
+                np.array([origin], dtype=np.int64), 2
+            )
+            assert sorted(disk) == sorted(exp.tolist())
+            assert len(disk) == 19
+        # pentagon row: wholesale failure flag, disks still exact
+        assert out[1]["ok"] is False
+        assert len(out[1]["disks"][1]) == 16  # pentagon disk 1+5+10
