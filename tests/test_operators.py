@@ -629,3 +629,34 @@ class TestHexRanges:
         # pentagon row: wholesale failure flag, disks still exact
         assert out[1]["ok"] is False
         assert len(out[1]["disks"][1]) == 16  # pentagon disk 1+5+10
+
+
+class TestSeedingParity:
+    def test_driver_and_distributed_seeders_agree(self, spark, images):
+        """knn_join's driver-dialect seeder (_initial_plans_driver) and
+        the all-Spark seed_state evaluate the SAME two-scale density
+        formula; this pins them equal so the dialects cannot drift
+        (the distributed seeder's raw base-res ring folds through
+        _escalate_state to the driver seeder's pre-escalated plan)."""
+        from h3_rs_spark.operators.knn import (
+            _escalate_state,
+            _initial_plans_driver,
+            seed_state,
+        )
+
+        queries = datagen.generate_knn_queries(spark, n=24, k=5)
+        q_pdf = queries.select("query_id", "lat", "lng").toPandas()
+        plans = _initial_plans_driver(
+            spark, images, q_pdf, 5, 9, "cell", 2
+        )
+        seeded = _escalate_state(
+            seed_state(
+                images, queries, 5, 9, cell_col="cell", initial_ring=2,
+                prefilter_broadcast=True,
+            )
+        ).toPandas()
+        got = {
+            r["query_id"]: (int(r["res_eff"]), int(r["ring"]))
+            for _, r in seeded.iterrows()
+        }
+        assert got == plans
