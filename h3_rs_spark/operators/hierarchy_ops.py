@@ -57,7 +57,16 @@ def compact_cells_df(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
     result = None
     cur = cells.select(cell_col).distinct()
     for r in range(int(res), 0, -1):
-        parented = cur.withColumn("_parent", h3_to_parent_col(cell_col, r - 1))
+        # localCheckpoint: each round's isEmpty probe (and the final
+        # result evaluation) would otherwise re-run the ENTIRE chain of
+        # prior rounds — quadratic job work. The checkpointed relation
+        # is the per-round parent set, which shrinks ~7x per round, so
+        # materializing it is exactly the shrinking-shuffle design the
+        # docstring promises; it also lets `parented` feed both the
+        # family count and the anti-join without recomputation.
+        parented = cur.withColumn(
+            "_parent", h3_to_parent_col(cell_col, r - 1)
+        ).localCheckpoint(eager=True)
         fam = parented.groupBy("_parent").agg(F.count("*").alias("_n"))
         full_n = F.when(_is_pentagon_col(F.col("_parent")), 6).otherwise(7)
         promoted = fam.where(F.col("_n") == full_n).select("_parent")
