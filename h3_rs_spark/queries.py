@@ -1622,6 +1622,15 @@ def q41_polar_polyfill(spark, sf_dir):
     lat, _ = fk.h3_to_geo(allc)
     fixtures = [
         ("annulus75_85", ring(75.0), [ring(85.0)], (lat > 75) & ~(lat > 85)),
+        # RFC 7946 winding: hole wound OPPOSITE to the exterior must
+        # fill identically (r4 ADVICE fix — a polar hole excludes the
+        # exterior pole's cap regardless of its own winding)
+        (
+            "annulus75_85_rfc",
+            ring(75.0),
+            [ring(85.0, eastward=False)],
+            (lat > 75) & ~(lat > 85),
+        ),
         ("north80", ring(80.0), [], lat > 80),
         ("south80", ring(-80.0, eastward=False), [], lat < -80),
     ]
@@ -1638,6 +1647,7 @@ def q41_polar_polyfill(spark, sf_dir):
 Q41_SQL = """
 SELECT * FROM (VALUES
   ('annulus75_85', 591, 1),
+  ('annulus75_85_rfc', 591, 1),
   ('north80', 293, 1),
   ('south80', 294, 1))
 AS t(region, n_cells, matches_enumeration)

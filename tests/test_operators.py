@@ -660,3 +660,40 @@ class TestSeedingParity:
             for _, r in seeded.iterrows()
         }
         assert got == plans
+
+
+class TestKnnEdgeCases:
+    def test_empty_queries(self, spark, images):
+        """Zero queries must return an empty typed result, not crash
+        (exercises the unseeded entry + empty-levels break)."""
+        from h3_rs_spark.operators.knn import knn_join
+
+        empty_q = spark.createDataFrame(
+            [], "query_id string, lat double, lng double"
+        )
+        out = knn_join(spark, images, empty_q, k=3, res=9)
+        assert out.count() == 0
+        assert set(out.columns) >= {"query_id", "image_id", "dist_m", "rank"}
+
+    def test_empty_images_terminates(self, spark):
+        """An empty fact relation must terminate via the exhaustion
+        filter (queries never get topk rows to carry the done flag)
+        and return zero rows — guards the r4 round restructure against
+        an infinite expand loop."""
+        import pandas as pd
+
+        from h3_rs_spark.operators.knn import knn_join
+
+        empty_imgs = spark.createDataFrame(
+            [], "image_id long, lat double, lng double, cell long"
+        )
+        queries = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": ["q0"], "lat": [37.7], "lng": [-122.4]}
+            )
+        )
+        out = knn_join(
+            spark, images=empty_imgs, queries=queries, k=3, res=9,
+            max_ring=64,
+        )
+        assert out.count() == 0
