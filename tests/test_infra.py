@@ -160,3 +160,43 @@ def test_resume_reruns_after_output_deleted(spark, tmp_path):
     shutil.rmtree(tmp_path / "s")
     out = runner.stage("s", "fp", make)
     assert out.count() == 50 and calls == [1, 1]
+
+
+class TestOptimizerBarrier:
+    def test_pip_probe_single_encode_eval(self, spark):
+        """Regression guard for the r4 Catalyst hazard: a join probing
+        on an encode-derived cell column must evaluate the Arrow encode
+        exactly ONCE — without geo_to_h3_udf's asNondeterministic
+        barrier, the join's isnotnull(f(cell)) constraint is pushed
+        through the defining projection and the optimized plan carries
+        a second ArrowEvalPython (measured 8.4M -> 4.7M rows/s on the
+        flagship). The refine UDF accounts for the one other allowed
+        python node."""
+        import pandas as pd
+
+        from h3_rs_spark.operators.pip_join import (
+            build_polygon_cells, pip_count,
+        )
+        from h3_rs_spark.sources import datagen, io
+
+        imgs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [f"i{k}" for k in range(100)],
+                    "caption": [
+                        f"img at {37.7 + k * 1e-3},{-122.4 + k * 1e-3}"
+                        for k in range(100)
+                    ],
+                }
+            )
+        )
+        polys9 = {
+            k: v for k, v in datagen.POLYGONS.items() if v[2] == 9
+        }
+        pre = build_polygon_cells(polys9, compacted=True)
+        out = pip_count(
+            spark, io.with_geo(imgs, res=9), polys9,
+            prebuilt_cells=pre, prune_partitions=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 2, plan
