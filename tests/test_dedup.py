@@ -249,3 +249,41 @@ class TestShingleEdgeCases:
         assert dedup._shingle_hashes("\ud800", 3).tolist() == [0]
         assert dedup._shingle_hashes("\udfff\ud800", 5).tolist() == [0]
         assert dedup._shingle_hashes("", 3).tolist() == [0]
+
+
+class TestStreamDedupRocksDB:
+    def test_rocksdb_state_store(self, spark, tmp_path):
+        """The bounded-state claim names RocksDB-backed state stores as
+        the at-scale sharding mechanism — run the same availableNow
+        drain with the RocksDB provider to prove the operator works on
+        it (HDFS-backed default elsewhere)."""
+        import shutil
+
+        from h3_rs_spark.streaming.dedup_stream import (
+            run_dedup_available_now,
+        )
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        src = tmp_path / "rocks_src"
+        src.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/documents.parquet",
+            src / "part-0.parquet",
+        )
+        try:
+            spark.conf.set(
+                key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            got = run_dedup_available_now(
+                spark, str(src), inject_dups=True, name="t_rocks_dedup"
+            ).toPandas()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        assert len(got) == 500
+        assert (got["dup_count"] == 2).all()

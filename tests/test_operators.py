@@ -697,3 +697,41 @@ class TestKnnEdgeCases:
             max_ring=64,
         )
         assert out.count() == 0
+
+
+class TestGeoDiskDynUdf:
+    def test_matches_encode_plus_kring(self, spark):
+        """The fused dynamic-res disk UDF must equal geo_to_h3 composed
+        with k_ring for every (res, ring) group in the batch."""
+        import numpy as np
+        import pandas as pd
+
+        from h3_rs_spark.functions.udfs import geo_disk_dyn_udf
+        from h3_rs_spark.h3core import faceijk as fk
+        from h3_rs_spark.h3core import traversal
+
+        rows = [
+            (0, 37.77, -122.42, 9, 2),
+            (1, -33.87, 151.21, 7, 1),
+            (2, 0.0, 0.0, 5, 3),
+            (3, 37.78, -122.41, 9, 2),  # same (res, ring) group as row 0
+            (4, 80.0, 10.0, 3, 1),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["i", "lat", "lng", "res_eff", "ring"]
+            )
+        )
+        got = {
+            r["i"]: sorted(r["disk"])
+            for r in df.select(
+                "i",
+                geo_disk_dyn_udf()("lat", "lng", "res_eff", "ring").alias(
+                    "disk"
+                ),
+            ).collect()
+        }
+        for i, lat, lng, res, ring in rows:
+            cell = fk.geo_to_h3(np.array([lat]), np.array([lng]), res)
+            _, disk = traversal.k_ring(cell, ring)
+            assert got[i] == sorted(disk.tolist()), i
