@@ -45,6 +45,23 @@ def h3_to_parent_col(cell: Column | str, parent_res: int) -> Column:
     return res_cleared.bitwiseOR(F.lit(parent_res << 52)).bitwiseOR(F.lit(fill))
 
 
+def edge_origin_col(edge: Column | str) -> Column:
+    """Unidirectional edge -> origin cell as pure bit math (clear mode
+    + edge-number bits, set cell mode) — §2.8 surface, edges.py layout
+    (mode bits 59-62, edge number bits 56-58)."""
+    e = F.col(edge) if isinstance(edge, str) else edge
+    cleared = e.bitwiseAND(F.lit(~(0xF << 59))).bitwiseAND(
+        F.lit(~(0x7 << 56))
+    )
+    return cleared.bitwiseOR(F.lit(1 << 59))
+
+
+def edge_number_col(edge: Column | str) -> Column:
+    """Unidirectional edge -> 1-based edge number ((e >> 56) & 7)."""
+    e = F.col(edge) if isinstance(edge, str) else edge
+    return F.shiftright(e, 56).bitwiseAND(F.lit(0x7))
+
+
 def cell_to_hex_str(cell: Column | str) -> Column:
     """u64 -> lowercase hex string (src/inspection.rs:81-95 semantics)."""
     c = F.col(cell) if isinstance(cell, str) else cell

