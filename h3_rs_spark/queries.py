@@ -1704,6 +1704,70 @@ FROM documents
 """
 
 
+def q42_uni_edges(spark, sf_dir):
+    """Unidirectional-edge surface through the driver gate (§2.8,
+    h3-sys/src/ffi.rs:251-273 — the reference declares but never wraps
+    these): explode every edge of the fixed q24 fixture cells, recover
+    origins with pure JVM bit math, destinations and reconstruction
+    via the kernel, and report pinned counts. The edge total is the
+    structural law 6*hexagons + 5*pentagons; a numbering, packing, or
+    destination regression breaks n_roundtrip/n_origin_ok."""
+    from .functions.native import edge_number_col, edge_origin_col
+    from .functions.udfs import edge_destination_udf, edges_from_cell_udf
+    from .h3core import edges as ed
+
+    lat, lng = _fixture_points_res7()
+    pts = spark.createDataFrame(pd.DataFrame({"lat": lat, "lng": lng}))
+    cells = (
+        pts.withColumn("cell", geo_to_h3_udf(7)("lat", "lng"))
+        .select("cell")
+        .distinct()
+    )
+    edges = (
+        cells.withColumn("edge", F.explode(edges_from_cell_udf()("cell")))
+        .withColumn("origin", edge_origin_col("edge"))
+        .withColumn("num", edge_number_col("edge"))
+        .withColumn("dest", edge_destination_udf()("edge"))
+    )
+
+    @F.pandas_udf("long")
+    def _rebuild(origin: pd.Series, dest: pd.Series) -> pd.Series:
+        return pd.Series(
+            ed.edge_from_cells(
+                origin.to_numpy(dtype=np.int64),
+                dest.to_numpy(dtype=np.int64),
+            )
+        )
+
+    checked = edges.withColumn("rebuilt", _rebuild("origin", "dest"))
+    return checked.agg(
+        F.countDistinct("cell").alias("n_cells"),
+        F.count("*").alias("n_edges"),
+        F.sum((F.col("origin") == F.col("cell")).cast("long")).alias(
+            "n_origin_ok"
+        ),
+        F.sum(
+            ((F.col("dest") != 0) & (F.col("dest") != F.col("cell"))).cast(
+                "long"
+            )
+        ).alias("n_dest_ok"),
+        F.sum((F.col("rebuilt") == F.col("edge")).cast("long")).alias(
+            "n_roundtrip"
+        ),
+        F.sum(((F.col("num") >= 1) & (F.col("num") <= 6)).cast("long")).alias(
+            "n_num_ok"
+        ),
+    )
+
+
+# structural law: 2124 hexagons x 6 + 12 pentagons x 5 = 12804 edges
+# over the 2136 fixture cells; every count must equal it
+Q42_SQL = """
+SELECT * FROM (VALUES (2136, 12804, 12804, 12804, 12804, 12804))
+AS t(n_cells, n_edges, n_origin_ok, n_dest_ok, n_roundtrip, n_num_ok)
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1751,4 +1815,5 @@ def catalog():
         "q39_knn_distributed": (q39_knn_distributed, _q29_sql()),
         "q40_stream_dedup": (q40_stream_dedup, Q40_SQL),
         "q41_polar_polyfill": (q41_polar_polyfill, Q41_SQL),
+        "q42_uni_edges": (q42_uni_edges, Q42_SQL),
     }
