@@ -1768,6 +1768,54 @@ AS t(n_cells, n_edges, n_origin_ok, n_dest_ok, n_roundtrip, n_num_ok)
 """
 
 
+def q43_hex_ranges(spark, sf_dir):
+    """Multi-origin hexRanges through the driver gate (§2.8,
+    ffi.rs:120-126): two origin batches — a clean hexagon pair and a
+    pair touching a pentagon — with the wholesale-failure contract and
+    exact per-origin disk sizes pinned (k=2 disks: hexagon 19 cells,
+    pentagon 16 by the deficit law)."""
+    from .functions.udfs import hex_ranges_udf
+    from .h3core import indexing
+    from .h3core.constants import PENTAGON_BASE_CELLS
+
+    hex_a, hex_b = 0x8928308280FFFFF, 0x89283082803FFFF
+    digits = np.full((1, 15), 7, dtype=np.int64)
+    digits[:, :9] = 0
+    pent = int(
+        indexing.from_components(
+            PENTAGON_BASE_CELLS[:1].astype(np.int64), 9, digits
+        )[0]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "batch": ["hex_pair", "with_pentagon"],
+                "origins": [[hex_a, hex_b], [hex_a, pent]],
+            }
+        )
+    )
+    r = df.withColumn("r", hex_ranges_udf(2)("origins"))
+    return r.select(
+        "batch",
+        F.col("r.ok").cast("long").alias("ok"),
+        F.aggregate(
+            F.transform(F.col("r.disks"), lambda d: F.size(d)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("n_disk_cells"),
+    ).orderBy("batch")
+
+
+# pentagon deficit law: hexagon k=2 disk = 19, pentagon = 16; the C
+# contract fails the whole call when any disk touches a pentagon
+Q43_SQL = """
+SELECT * FROM (VALUES
+  ('hex_pair', 1, 38),
+  ('with_pentagon', 0, 35))
+AS t(batch, ok, n_disk_cells)
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1816,4 +1864,5 @@ def catalog():
         "q40_stream_dedup": (q40_stream_dedup, Q40_SQL),
         "q41_polar_polyfill": (q41_polar_polyfill, Q41_SQL),
         "q42_uni_edges": (q42_uni_edges, Q42_SQL),
+        "q43_hex_ranges": (q43_hex_ranges, Q43_SQL),
     }
