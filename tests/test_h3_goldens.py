@@ -911,3 +911,20 @@ class TestUnidirectionalEdges:
             assert r["origin"] == r["cell"]
             assert 1 <= r["num"] <= 6
             assert r["dest"] != 0 and r["dest"] != r["cell"]
+
+
+class TestSysOnlyCompleteness:
+    def test_km_variants(self):
+        # §2.8 edgeLengthKm / hexAreaKm2 (ffi.rs:171-178): Z1 golden
+        # in km units (resolution.rs:107-109 / 1000)
+        assert abs(h3.edge_length_km(1) - 418.6760055) < 1e-7
+        assert abs(h3.hex_area_km2(1) - 607221.0) / 607221.0 < 1e-6
+
+    def test_are_neighbors(self):
+        # §2.8 h3IndexesAreNeighbors (ffi.rs:251)
+        a = np.array([0x8928308280FFFFF], dtype=np.int64)
+        _, ring1 = h3.hex_ring(a, 1)
+        _, ring2 = h3.hex_ring(a, 2)
+        assert h3.are_neighbors(np.repeat(a, len(ring1)), ring1).all()
+        assert not h3.are_neighbors(np.repeat(a, len(ring2)), ring2).any()
+        assert not h3.are_neighbors(a, a).any()  # self is not a neighbor
