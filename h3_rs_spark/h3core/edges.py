@@ -59,6 +59,13 @@ def edge_from_cells(origin, destination) -> np.ndarray:
     neighbors (getH3UnidirectionalEdge)."""
     o = np.atleast_1d(np.asarray(origin, dtype=np.int64))
     d = np.atleast_1d(np.asarray(destination, dtype=np.int64))
+    if o.shape != d.shape:
+        # ADVICE r4: a silent zip of mismatched arrays either indexes
+        # out of bounds deep in the scatter or drops trailing elements
+        raise ValueError(
+            f"edge_from_cells: origin/destination length mismatch "
+            f"{o.shape} vs {d.shape}"
+        )
     owner, direction, nb = directed_neighbors(o)
     out = np.zeros(o.shape[0], dtype=np.int64)
     hit = nb == d[owner]

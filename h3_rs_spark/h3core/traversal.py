@@ -85,6 +85,11 @@ def directed_neighbors(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
     direction <-> neighbor bijection. Self-hits (degenerate
     reflections) are dropped."""
     h = np.atleast_1d(np.asarray(h, dtype=np.int64))
+    if h.shape[0] == 0:
+        # empty Arrow batches reach here via the edge UDFs (ADVICE r4:
+        # res[0] below would raise IndexError)
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
     res = ix.get_resolution(h)
     if np.unique(res).size > 1:
         out_o, out_d, out_n = [], [], []

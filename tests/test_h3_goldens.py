@@ -842,13 +842,34 @@ class TestUnidirectionalEdges:
         dests = ed.edge_destination(es)
         rebuilt = ed.edge_from_cells(cells[owner], dests)
         assert (rebuilt == es).all()
-        # non-neighbors yield 0
-        assert ed.edge_from_cells(cells[:1], cells[1:2])[0] != 0 or True
+        # the two adjacent hexes yield a real edge (ADVICE r4: the
+        # `or True` made this vacuous); non-neighbors yield 0 below
+        assert ed.edge_from_cells(cells[:1], cells[1:2])[0] != 0
         far = ed.edge_from_cells(
             np.array([0x8928308280FFFFF], dtype=np.int64),
             np.array([int(cells[2])], dtype=np.int64),
         )
         assert far[0] == 0
+
+    def test_empty_and_mismatched_inputs(self):
+        # ADVICE r4: empty Arrow batches must not IndexError, and
+        # mismatched origin/destination lengths must raise clearly
+        from h3_rs_spark.h3core import edges as ed
+        from h3_rs_spark.h3core import traversal
+
+        empty = np.empty(0, dtype=np.int64)
+        o, d, nb = traversal.directed_neighbors(empty)
+        assert o.size == d.size == nb.size == 0
+        assert ed.edge_destination(empty).size == 0
+        owner, es = ed.edges_from_cells(empty)
+        assert owner.size == es.size == 0
+        cells = self._cells()
+        with pytest.raises(ValueError, match="length mismatch"):
+            ed.edge_from_cells(cells[:1], cells)
+        from h3_rs_spark.h3core import are_neighbors
+
+        with pytest.raises(ValueError, match="length mismatch"):
+            are_neighbors(cells[:2], cells)
 
     def test_validity_rejects_cells_and_bad_numbers(self):
         from h3_rs_spark.h3core import edges as ed
