@@ -79,6 +79,7 @@ def run_headline(spark, sf: float) -> dict:
     n_images = images.count()
 
     times: dict[str, float] = {}
+    med: dict[str, float] = {}
     cold: dict[str, float] = {}
     extra: dict[str, float] = {}
 
@@ -87,16 +88,22 @@ def run_headline(spark, sf: float) -> dict:
         # costs (whole-stage codegen compile, AQE first plan, parquet
         # footer cache) that are fixed overhead, not throughput — run
         # once untimed, then time. The cold first-run time is reported
-        # separately as cold_total_sec.
+        # separately as cold_total_sec. Both BEST and MEDIAN of the 3
+        # steady reps are reported (VERDICT r4 #4): best keeps the
+        # r1-r4 headline series comparable, the best/median spread is
+        # the dispersion band that separates VM window wobble from a
+        # real regression without a re-run.
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
-        best = float("inf")
-        for _ in range(2):  # best-of-2 timed reps: VM noise spikes hit
-            t1 = time.time()  # single readings hard (BENCH/BASELINE.md)
+        reps = []
+        for _ in range(3):
+            t1 = time.time()
             fn()
-            best = min(best, time.time() - t1)
-        times[name] = round(best, 3)
+            reps.append(time.time() - t1)
+        reps.sort()
+        times[name] = round(reps[0], 3)
+        med[name] = round(reps[1], 3)
 
     polys9 = {k: v for k, v in datagen.POLYGONS.items() if v[2] == 9}
 
@@ -158,6 +165,7 @@ def run_headline(spark, sf: float) -> dict:
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
     return {
         "times": times,
+        "med": med,
         "cold": cold,
         "extra": extra,
         "n_images": n_images,
@@ -267,8 +275,14 @@ def main():
         ),
         3,
     )
+    total_med = round(
+        sum(t for k, t in out["med"].items() if k not in GUARDED_QUERIES), 3
+    )
     guarded_total = round(
         sum(out["times"].get(k, 0.0) for k in GUARDED_QUERIES), 3
+    )
+    guarded_total_med = round(
+        sum(out["med"].get(k, 0.0) for k in GUARDED_QUERIES), 3
     )
     print(
         json.dumps(
@@ -277,12 +291,16 @@ def main():
                 "value": total,
                 "unit": "sec",
                 # methodology tag (ADVICE r2): the headline is STEADY-
-                # STATE (one untimed warm rep, then best-of-2); r1's
+                # STATE (one untimed warm rep, then best-of-3); r1's
                 # records were cold single runs — compare r1 against
-                # cold_total_sec, not value
-                "timing": "steady_best_of_2_after_warm",
+                # cold_total_sec, not value. queries_med + the _med
+                # totals are the dispersion band (VERDICT r4 #4).
+                "timing": "steady_best_of_3_after_warm",
                 "queries": out["times"],
+                "queries_med": out["med"],
+                "headline_total_med_sec": total_med,
                 "guarded_total_sec": guarded_total,
+                "guarded_total_med_sec": guarded_total_med,
                 "sf": sf,
                 "cpus": CPUS,
                 "n_images": out["n_images"],

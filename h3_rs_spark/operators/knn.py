@@ -41,6 +41,10 @@ def _guaranteed_radius_m(ring: int, res: int) -> float:
 
 _COARSEN_AT = 16  # ring size beyond which we escalate to a coarser res
 
+# last routing decision of knn_join ("driver_seeded" | "distributed"),
+# observable by tests asserting the oversized-batch guard
+_LAST_ROUTE = [None]
+
 
 def knn_join(
     spark: SparkSession,
@@ -52,6 +56,7 @@ def knn_join(
     initial_ring: int = 2,
     max_ring: int = 1 << 20,
     density_precheck: bool | None = None,
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """Exact k nearest images per query point.
 
@@ -73,7 +78,29 @@ def knn_join(
     tests/test_operators.py::TestSeedingParity. density_precheck=None
     (auto) seeds unless the batch is near-singleton (the seeding job
     doesn't amortize for 1-3 queries, ADVICE r2).
+
+    The contract is self-enforcing (VERDICT r4 #3): a cheap bounded
+    probe (limit(N+1).count(), never a full scan) routes batches above
+    `max_driver_queries` straight to the all-Spark distributed path
+    instead of materializing them on the driver — a caller piping 10^7
+    queries through the convenience wrapper gets the right plan, not
+    an OOM. _LAST_ROUTE records the decision for tests/telemetry.
     """
+    n_probe = queries.limit(max_driver_queries + 1).count()
+    if n_probe > max_driver_queries:
+        _LAST_ROUTE[0] = "distributed"
+        return knn_join_distributed(
+            spark,
+            images,
+            queries.select("query_id", "lat", "lng"),
+            k,
+            res,
+            cell_col=cell_col,
+            initial_ring=initial_ring,
+            max_ring=max_ring,
+            density_precheck=True,
+        )
+    _LAST_ROUTE[0] = "driver_seeded"
     q_pdf = queries.select("query_id", "lat", "lng").toPandas()
     if density_precheck is None:
         density_precheck = len(q_pdf) >= _PRECHECK_MIN_QUERIES

@@ -1894,6 +1894,163 @@ AS t(batch, ok, n_disk_cells)
 """
 
 
+def q44_dissolve(spark, sf_dir):
+    """G4 dissolve (cells -> multipolygon, h3SetToLinkedGeo) through
+    the driver gate — previously the only kernel surface whose
+    correctness never flowed through a CORRECTNESS row (VERDICT r4
+    #2). The reference shipped this operator as a stub returning an
+    empty MultiPolygon with its tests commented out
+    (src/region.rs:69-73,245-255); the engine pins what the reference
+    only aspired to. Two fixtures: the SF polyfill@9 set (the
+    reference's own 1253-cell golden region) and a two-island +
+    one-hole set (k<=3 annulus around a hexagon plus a far k<=2
+    disk). Per fixture: outer/hole ring counts (classified by
+    shoelace orientation — outer rings inherit the cells' CCW
+    winding, holes wind opposite), total stitched vertices, and the
+    perimeter-cell count (cells with any neighbor outside the set).
+    The island fixture's pinned totals obey the disk-boundary vertex
+    law 6(2k+1): annulus outer 42 + hole 18 + island 30 = 90, and
+    perimeter 30 (annulus, all boundary) + 12 (island ring-2) = 42."""
+    from .h3core import regions, traversal
+    from .sources.datagen import SF_EXTERIOR
+
+    def summarize(cells):
+        cells = np.unique(np.asarray(cells, dtype=np.int64))
+        rings = regions.cells_to_multipolygon(cells)
+        n_outer = n_holes = n_verts = 0
+        for ring in rings:
+            pts = np.asarray(ring, dtype=np.float64)
+            x, y = pts[:, 0], pts[:, 1]
+            area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+            n_verts += len(ring)
+            if area2 > 0:
+                n_outer += 1
+            else:
+                n_holes += 1
+        owner, nb = traversal.neighbors(cells)
+        inset = np.isin(nb, cells)
+        nv_in = np.bincount(
+            owner, weights=inset.astype(np.float64), minlength=cells.size
+        )
+        nv_tot = np.bincount(owner, minlength=cells.size)
+        n_perim = int((nv_in < nv_tot).sum())
+        return n_outer, n_holes, n_verts, n_perim
+
+    from .h3core import faceijk as fk
+
+    base = np.array([0x8928308280FFFFF], dtype=np.int64)
+    _, d3 = traversal.k_ring(base, 3)
+    _, d1 = traversal.k_ring(base, 1)
+    annulus = np.setdiff1d(d3, d1)
+    far = fk.geo_to_h3(np.array([-33.87]), np.array([151.21]), 9)
+    _, island = traversal.k_ring(far, 2)
+
+    rows = []
+    for name, cells in (
+        ("sf_polyfill", regions.polyfill(SF_EXTERIOR, [], 9)),
+        ("islands_hole", np.concatenate([annulus, island])),
+    ):
+        rows.append((name, int(cells.shape[0])) + summarize(cells))
+    return spark.createDataFrame(
+        rows,
+        "region string, n_cells long, n_outer long, n_holes long, "
+        "n_verts long, n_perimeter long",
+    )
+
+
+# pinned values re-derived the q27/q41 way; the islands row is
+# independently corroborated by the 6(2k+1) disk-boundary vertex law
+# and the ring-cell counts (see q44's docstring)
+Q44_SQL = """
+SELECT * FROM (VALUES
+  ('islands_hole', 49, 2, 1, 90, 42),
+  ('sf_polyfill', 1253, 1, 0, 284, 139))
+AS t(region, n_cells, n_outer, n_holes, n_verts, n_perimeter)
+"""
+
+
+def q45_resumable_stages(spark, sf_dir):
+    """Resumable multi-stage execution through the driver gate (VERDICT
+    r4 #8; north rule: resumable from checkpoint with per-partition
+    lineage + metrics). A two-stage pipeline (filter -> aggregate) runs
+    once, then the SECOND stage's manifest is deleted and the pipeline
+    re-runs: the rerun must resume stage 1 from its materialization
+    (no recompute) and re-run only the aggregation — violations raise.
+    The resumed run's OUTPUT is the cross-engine check: DuckDB
+    recomputes the aggregation by plain SQL, so a resume that reads a
+    stale/partial materialization breaks the value hash; the
+    ran/resumed stage counts are pinned alongside."""
+    import os
+    import shutil
+    import tempfile
+
+    from .plans.stages import StageRunner
+
+    root = tempfile.mkdtemp(prefix="q45stages_")
+    try:
+        def build(runner):
+            s1 = runner.stage(
+                "filtered",
+                f"q45:{sf_dir}:qty30",
+                lambda: _t(spark, sf_dir, "lineitem").where(
+                    F.col("l_quantity") > 30
+                ),
+            )
+            return runner.stage(
+                "agg",
+                f"q45:{sf_dir}:by_flag",
+                lambda: s1.groupBy("l_returnflag").agg(
+                    F.count("*").alias("n"),
+                    F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+                ),
+                upstream=["filtered"],
+            )
+
+        r1 = StageRunner(spark, root, run_id="q45_first")
+        build(r1)
+        n_ran_first = sum(1 for _, s in r1.history() if s == "ran")
+        os.remove(os.path.join(root, "agg.manifest.json"))
+        r2 = StageRunner(spark, root, run_id="q45_second")
+        out = build(r2)
+        hist = dict(r2.history())
+        if hist.get("filtered") != "resumed" or hist.get("agg") != "ran":
+            raise AssertionError(
+                f"resume contract violated: {r2.history()}"
+            )
+        n_resumed = sum(1 for _, s in r2.history() if s == "resumed")
+        n_rerun = sum(1 for _, s in r2.history() if s == "ran")
+        # materialize before the stage warehouse is removed (gate-size
+        # result: one row per returnflag)
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(pdf)
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            "price_sum",
+        )
+        .withColumn("n_ran_first", F.lit(int(n_ran_first)).cast("long"))
+        .withColumn("n_resumed_second", F.lit(int(n_resumed)).cast("long"))
+        .withColumn("n_rerun_second", F.lit(int(n_rerun)).cast("long"))
+    )
+
+
+# the aggregation is recomputed by plain SQL; the stage counts pin the
+# resume contract (2 stages ran first, exactly 1 resumed + 1 re-ran
+# after the second stage's manifest was deleted)
+Q45_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS price_sum,
+       CAST(2 AS BIGINT) AS n_ran_first,
+       CAST(1 AS BIGINT) AS n_resumed_second,
+       CAST(1 AS BIGINT) AS n_rerun_second
+FROM lineitem WHERE l_quantity > 30
+GROUP BY l_returnflag
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -1943,4 +2100,6 @@ def catalog():
         "q41_polar_polyfill": (q41_polar_polyfill, Q41_SQL),
         "q42_uni_edges": (q42_uni_edges, Q42_SQL),
         "q43_hex_ranges": (q43_hex_ranges, Q43_SQL),
+        "q44_dissolve": (q44_dissolve, Q44_SQL),
+        "q45_resumable_stages": (q45_resumable_stages, Q45_SQL),
     }

@@ -200,3 +200,28 @@ class TestOptimizerBarrier:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") == 2, plan
+
+    def test_barrier_version_pin(self, spark):
+        """VERDICT r4 #7: the asNondeterministic marking is a
+        version-coupled optimizer barrier — it works by telling the
+        optimizer the (pure) encode is impure, and a Spark upgrade can
+        silently change what nondeterminism implies. Pin the coupling:
+        fail loudly when the Spark line changes (so the double-eval
+        trap is re-reproduced before trusting the barrier there), and
+        assert both barrier UDFs still report deterministic == False
+        under the live session."""
+        import pyspark
+
+        assert pyspark.__version__.startswith("4.1."), (
+            f"Spark {pyspark.__version__}: the nondeterminism barrier "
+            "in functions/udfs.py was validated against the 4.1 "
+            "optimizer (isnotnull constraint pushdown re-embedding the "
+            "Arrow encode, see test_pip_probe_single_encode_eval). "
+            "Reproduce the trap on this version, then update this pin."
+        )
+        from h3_rs_spark.functions.udfs import (
+            geo_disk_dyn_udf, geo_to_h3_udf,
+        )
+
+        assert geo_to_h3_udf(9).deterministic is False
+        assert geo_disk_dyn_udf().deterministic is False

