@@ -574,13 +574,19 @@ def q17_embedding_near_dup(spark, sf_dir):
     )
     corpus = e.unionByName(dup)
     pairs = dedup.embedding_near_dup(corpus, cos_threshold=0.25).persist()
-    # exact-equal vectors: join on the array value itself (float
-    # equality is exact — the copies are bit-identical parquet values)
+    # exact-equal vectors (float equality is exact — the copies are
+    # bit-identical parquet values). The equi-key is xxhash64 of the
+    # array so Catalyst plans a HASH join with the array equality as a
+    # residual filter — joining on the raw array alone has no hashable
+    # key and degrades to a nested-loop compare (measured 162 s at the
+    # sf1 proof scale, 20k vectors; hash-keyed: ~2 s)
+    hashed = corpus.withColumn("_h", F.xxhash64("embedding"))
     exact = (
-        corpus.alias("x")
+        hashed.alias("x")
         .join(
-            corpus.alias("y"),
-            (F.col("x.embedding") == F.col("y.embedding"))
+            hashed.alias("y"),
+            (F.col("x._h") == F.col("y._h"))
+            & (F.col("x.embedding") == F.col("y.embedding"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(
