@@ -219,6 +219,55 @@ def minhash_signature_udf(num_hashes: int = 64, shingle: int = 5):
     return _f
 
 
+def minhash_signature_jvm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle: int = 5,
+) -> DataFrame:
+    """All-JVM minhash signatures (VERDICT r4 #6 experiment): character
+    shingles via transform(sequence(...)) -> substring, hashed with
+    built-in xxhash64 where the per-function seed literal makes
+    num_hashes independent hash functions, min via array_min — the
+    whole signature stays inside whole-stage codegen with zero Arrow
+    transfer and zero shuffle.
+
+    NOTE: a DIFFERENT hash family than minhash_signature_udf (the
+    polynomial-shingle + (a*h+b) mod 2^61-1 Arrow path), so signature
+    VALUES differ; est_jaccard is statistically equivalent (classic
+    k-hash-function minhash under any fixed total order) and the
+    exact-duplicate contract — identical text => identical signature
+    => est 1.0, all bands collide — is identical. A/B numbers in
+    BENCH/BASELINE.md round 5."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    sh = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.char_length(txt) - (shingle - 1), F.lit(1))
+        ),
+        lambda i: F.substring(txt, i, shingle),
+    )
+
+    def hash_with_seed(seed: int):
+        # MUST be a single-parameter lambda: a two-parameter lambda
+        # (e.g. `lambda s, j=j: ...`) makes pyspark pass transform's
+        # optional INDEX as the second argument, silently shadowing the
+        # captured seed — every band then hashes (index, shingle) and
+        # all signature components collapse to one value (found r5 via
+        # the parsed plan: `xxhash64(lambda y_3, lambda x_2)`)
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), hash_with_seed(j)))
+            for j in range(num_hashes)
+        ]
+    )
+    return df.withColumn("_sh", sh).select(
+        F.col(id_col).alias("id"), sig.alias("sig")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -228,6 +277,7 @@ def minhash_lsh_dedup(
     shingle: int = 5,
     jaccard_threshold: float = 0.7,
     bucket_cap: int = 10_000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -235,15 +285,26 @@ def minhash_lsh_dedup(
     inside a bucket that exceeds bucket_cap may only pair through the
     bucket's min-id anchor (see _bucket_pairs) — check
     last_bucket_stats() after an action and raise bucket_cap if its
-    counters are nonzero."""
+    counters are nonzero.
+
+    impl: "arrow" (pandas-UDF signatures, default) or "jvm"
+    (xxhash64/transform signatures, minhash_signature_jvm) — identical
+    pipeline shape and exact-dup contract, different hash family."""
     rows_per_band = num_hashes // bands
     df = _ensure_parallelism(df)
     # persist signatures: they feed both self-join branches and the
-    # verification re-attach — without this the Arrow UDF runs 3x
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_udf(num_hashes, shingle)(F.col(text_col)).alias("sig"),
-    ).persist()
+    # verification re-attach — without this the signature stage runs 3x
+    if impl == "jvm":
+        sig = minhash_signature_jvm(
+            df, text_col, id_col, num_hashes, shingle
+        ).persist()
+    else:
+        sig = df.select(
+            F.col(id_col).alias("id"),
+            minhash_signature_udf(num_hashes, shingle)(F.col(text_col)).alias(
+                "sig"
+            ),
+        ).persist()
     sig.count()  # materialize eagerly: parallel AQE query stages would
     # otherwise race the cache and run the Arrow UDF 2-4x concurrently
     band_cols = [

@@ -128,6 +128,48 @@ class TestBucketCapSemantics:
         assert recall3 == 1.0
 
 
+class TestMinhashJvmImpl:
+    def test_bands_vary_and_identical_docs_collide(self, spark):
+        """Two contracts of the all-JVM signature (r5): (a) distinct
+        seeds produce distinct per-band hash functions — guards the
+        transform-INDEX-shadowing regression where a two-parameter
+        lambda let Spark bind the seed to the array index and every
+        component collapsed to one value; (b) identical text gives an
+        identical signature (est 1.0), the exact-dup contract."""
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["the quick brown fox jumps over the lazy dog"] * 2,
+            }
+        )
+        sig = dedup.minhash_signature_jvm(
+            spark.createDataFrame(pdf), num_hashes=16
+        )
+        rows = {r["id"]: r["sig"] for r in sig.collect()}
+        assert rows[1] == rows[2]  # identical docs collide per-component
+        assert len(set(rows[1])) > 8  # bands genuinely vary
+
+    def test_jvm_impl_recovers_exact_dups(self, spark):
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "alpha beta gamma delta epsilon zeta",
+                        "alpha beta gamma delta epsilon zeta",
+                        "completely different content here now",
+                        "unrelated text about something else",
+                    ],
+                }
+            )
+        )
+        pairs = dedup.minhash_lsh_dedup(
+            corpus, jaccard_threshold=0.5, impl="jvm"
+        )
+        got = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in pairs.collect()}
+        assert (1, 2, 1.0) in got
+
+
 class TestSimhashVectorized:
     def test_matches_scalar_reference(self, spark):
         """The batched reduceat/matmul simhash must be bit-identical to
