@@ -411,6 +411,31 @@ class TestExtendedParity:
         r1 = cells_to_multipolygon(one_cell)
         assert len(r1) == 1 and len(r1[0]) == 6
 
+    def test_dissolve_pentagon_disk(self):
+        """Dissolving a pentagon-containing set must stitch the 5-vertex
+        boundary seamlessly: a lone pentagon gives one 5-vertex ring,
+        its k=1 disk (pentagon + 5 neighbors) one closed outer ring of
+        5*... = 15 single-occurrence edges, and every member centroid
+        lies inside (r5 edge-case coverage for q44's operator)."""
+        from h3_rs_spark.h3core import indexing
+        from h3_rs_spark.h3core.constants import PENTAGON_BASE_CELLS
+        from h3_rs_spark.h3core.regions import cells_to_multipolygon
+
+        digits = np.full((1, 15), 7, dtype=np.int64)
+        digits[:, :5] = 0
+        pent = indexing.from_components(
+            PENTAGON_BASE_CELLS[:1].astype(np.int64), 5, digits
+        )
+        lone = cells_to_multipolygon(pent)
+        assert len(lone) == 1 and len(lone[0]) == 5
+        _, disk = h3.k_ring(pent, 1)
+        assert disk.shape[0] == 6  # pentagon deficit: 1 + 5 neighbors
+        rings = cells_to_multipolygon(disk)
+        assert len(rings) == 1
+        lat, lng = h3.h3_to_geo(disk)
+        inside = h3.points_in_polygon(lng, lat, np.array(rings[0]))
+        assert inside.all()
+
 
 class TestClassIIIDistortionVertices:
     """Class III cells whose edges cross icosahedron face edges get an
