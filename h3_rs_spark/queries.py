@@ -12,17 +12,17 @@ by DuckDB or pinned as a re-derived VALUE, and engine-side structural
 laws (threshold floors, pair ordering, top-k bounds) RAISE inside the
 query on violation instead of riding as echoed flags.
 - CROSS-ENGINE VALUE queries (q01-q13, q16, q18, q19, q21, q26, q29,
-  q30, q34, q39, q40): DuckDB recomputes the full result set
+  q30, q34, q39, q40, q45): DuckDB recomputes the full result set
   independently (q14/q15/q17 recompute the exact-duplicate pair SET
   via md5/list equality and pin the per-pair metric — identical docs
   must read est_jaccard 1.0 / hamming 0 / cos_sim 1.0).
 - PINNED-VALUE queries (q20, q24, q25, q27, q28, q31, q32, q33, q35,
-  q36, q37, q38, q41, q42, q43): DuckDB cannot recompute H3 values or
-  UDF outputs, so the oracle pins numbers re-derived independently —
-  fixed sf-independent fixtures (q24/q25/q28/q38/q42), reference
-  golden constants (q32/q36), arithmetic law recomputes (q33/q43),
-  or a from-the-byte-stream recompute with no operator code in the
-  path (q31/q35). A regression that conserves counts but moves
+  q36, q37, q38, q41, q42, q43, q44, q46): DuckDB cannot recompute H3
+  values or UDF outputs, so the oracle pins numbers re-derived
+  independently — fixed sf-independent fixtures (q24/q25/q28/q38/
+  q42/q44), reference golden constants (q32/q36), arithmetic law
+  recomputes (q33/q43), or a from-the-byte-stream recompute with no
+  operator code in the path (q31/q35/q46). A regression that conserves counts but moves
   values breaks these hashes; kernel bit-exactness is additionally
   pinned by the 37 reference goldens in tests/.
 
@@ -2057,6 +2057,74 @@ GROUP BY l_returnflag
 """
 
 
+def _q46_payloads():
+    """Deterministic pcm16 clips (splitmix64 stream, varying lengths) —
+    the shared INPUT for q46's engine run and oracle recompute."""
+    from .sources.datagen import _splitmix64
+
+    clips = []
+    for aid in range(24):
+        n_samples = 480 + 16 * aid
+        words = _splitmix64(
+            np.arange(aid * 1000, aid * 1000 + (n_samples * 2 + 7) // 8 + 1)
+            .astype(np.uint64)
+        )
+        clips.append((aid, words.view(np.uint8)[: n_samples * 2].tobytes()))
+    return clips
+
+
+def q46_audio_stats(spark, sf_dir):
+    """Audio stats (decode -> per-clip n_samples/rms/peak) over
+    synthesized pcm16 clips — closes the multimodal trio through the
+    driver gate (image q31, video q35, audio q46). The oracle
+    (_q46_sql) re-derives every value from the byte stream with plain
+    numpy slicing — no decode_audio/mapInPandas in that path — and
+    pins floor(rms*1e6)/floor(peak*1e6) per clip, so an endianness,
+    normalization (1/32768), or aggregation regression breaks the
+    value hash. Varying clip lengths exercise the size column."""
+    from .operators import multimodal as mm
+
+    rows = [
+        (f"a{aid:03d}", payload, "pcm16") for aid, payload in _q46_payloads()
+    ]
+    audio = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+    )
+    out = mm.audio_stats(audio)
+    return out.select(
+        "audio_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.floor(F.col("rms") * F.lit(1e6)).cast("long").alias("rms_micro"),
+        F.floor(F.col("peak") * F.lit(1e6)).cast("long").alias("peak_micro"),
+    )
+
+
+def _q46_sql() -> str:
+    rows = []
+    for aid, payload in _q46_payloads():
+        x = (
+            np.frombuffer(payload, dtype=np.int16).astype(np.float64)
+            / 32768.0
+        )
+        rms = float(np.sqrt(np.mean(x**2)))
+        peak = float(np.abs(x).max())
+        rows.append(
+            (
+                aid,
+                x.size,
+                int(np.floor(rms * 1e6)),
+                int(np.floor(peak * 1e6)),
+            )
+        )
+    vals = ", ".join(f"({a}, {n}, {r}, {p})" for a, n, r, p in rows)
+    return f"""
+SELECT 'a' || lpad(CAST(a AS VARCHAR), 3, '0') AS audio_id,
+       CAST(n AS BIGINT) AS n_samples, CAST(r AS BIGINT) AS rms_micro,
+       CAST(p AS BIGINT) AS peak_micro
+FROM (VALUES {vals}) AS t(a, n, r, p)
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2108,4 +2176,5 @@ def catalog():
         "q43_hex_ranges": (q43_hex_ranges, Q43_SQL),
         "q44_dissolve": (q44_dissolve, Q44_SQL),
         "q45_resumable_stages": (q45_resumable_stages, Q45_SQL),
+        "q46_audio_stats": (q46_audio_stats, _q46_sql()),
     }
