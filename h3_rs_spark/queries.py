@@ -827,13 +827,17 @@ def q23_h3_cell_density(spark, sf_dir):
     )
 
 
-# n_top pins the top-k row count at 20: the 35% world-uniform mixture
-# branch spreads points over hundreds of distinct res-7 cells at every
-# provided sf (>=0.001 has ~500 world points), so least(20, n_cells)
-# is 20 for any data of the input_hint shape — a density histogram that
-# collapses cells below 20 (or a top-k that over-returns) breaks it
+# n_top pins the top-k row count at least(20, COUNT(*)): n_cells <=
+# n_points always, and the 35% world-uniform mixture branch spreads
+# points over hundreds of distinct res-7 cells at every provided sf
+# (>=0.001 has ~500 world points), so once the table has >=~60 rows
+# the distinct-cell count clears 20 and the pin is exactly 20; the
+# LEAST keeps sub-20-row fixtures from producing a false mismatch
+# (the ADVICE-r2 tiny-sf case, preserved through the r5 flag
+# retirement)
 Q23_SQL = """
-SELECT COUNT(*) AS total_points, 20 AS n_top
+SELECT COUNT(*) AS total_points,
+       CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_top
 FROM orders
 """
 
@@ -2031,7 +2035,12 @@ def q45_resumable_stages(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return (
-        spark.createDataFrame(pdf)
+        # explicit schema: an empty filtered aggregation (no lineitem
+        # above the quantity cut in a tiny fixture) must yield an empty
+        # relation, not a cannot-infer-schema crash
+        spark.createDataFrame(
+            pdf, "l_returnflag string, n long, price_sum double"
+        )
         .select(
             "l_returnflag",
             F.col("n").cast("long").alias("n"),

@@ -77,6 +77,13 @@ def main():
                 reps.append(time.time() - t0)
             out[f"sig_{label}_{impl}_sec"] = round(sorted(reps)[1], 3)
         for impl in ("arrow", "jvm"):
+            # isolate legs: minhash_lsh_dedup persists its signature
+            # relation internally and earlier legs' stale caches would
+            # pressure later measurements (r5 review); keep only the
+            # tool's own corpus caches
+            spark.catalog.clearCache()
+            big.persist()
+            big.count()
             t0 = time.time()
             n = dedup.minhash_lsh_dedup(
                 corpus, jaccard_threshold=0.5, impl=impl
