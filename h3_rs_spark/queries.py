@@ -12,7 +12,7 @@ by DuckDB or pinned as a re-derived VALUE, and engine-side structural
 laws (threshold floors, pair ordering, top-k bounds) RAISE inside the
 query on violation instead of riding as echoed flags.
 - CROSS-ENGINE VALUE queries (q01-q13, q16, q18, q19, q21, q26, q29,
-  q30, q34, q39, q40, q45): DuckDB recomputes the full result set
+  q30, q34, q39, q40, q45, q47): DuckDB recomputes the full result set
   independently (q14/q15/q17 recompute the exact-duplicate pair SET
   via md5/list equality and pin the per-pair metric — identical docs
   must read est_jaccard 1.0 / hamming 0 / cos_sim 1.0).
@@ -2134,6 +2134,106 @@ FROM (VALUES {vals}) AS t(a, n, r, p)
 """
 
 
+_Q47_SEQ = [0]
+
+
+def q47_stream_watermark(spark, sf_dir):
+    """Watermark late-data semantics through the driver gate (§2.9
+    streaming: watermarks + windowed aggs for late data — q34 checks
+    completeness, q40 stateful dedup; this pins the DROP contract that
+    only APPEND mode exposes). Three deterministic micro-batches (one
+    file each, mtime-ordered): (0) the full events table builds window
+    state; (1) copies of the last hour's events advance nothing but
+    trigger eviction — every window older than the watermark is
+    appended to the sink exactly once; (2) copies of the OLDEST hour's
+    events arrive late — their windows are already finalized, so they
+    must not re-emit or inflate anything. The oracle recomputes the
+    exact emitted relation as plain SQL (hourly counts over events
+    restricted to windows closed by the final watermark max(ts) - 2h);
+    a broken late-drop shows up as duplicate window keys (row-count
+    mismatch) or an inflated oldest-window count (hash mismatch).
+    Engine-side laws raise: no duplicate (window, type) emission, and
+    the late path must actually have been exercised
+    (numRowsDroppedByWatermark > 0)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.cells import run_append_counts_available_now
+
+    ev = _t(spark, sf_dir, "events")
+    mn, mx, max_id = ev.agg(
+        F.min("ts"), F.max("ts"), F.max("event_id")
+    ).first()
+    shift = int(max_id) + 1
+    recent = ev.where(
+        F.col("ts") > F.to_timestamp(F.lit(str(mx))) - F.expr("INTERVAL 1 HOUR")
+    ).withColumn("event_id", F.col("event_id") + F.lit(shift))
+    late = ev.where(
+        F.col("ts") < F.to_timestamp(F.lit(str(mn))) + F.expr("INTERVAL 1 HOUR")
+    ).withColumn("event_id", F.col("event_id") + F.lit(2 * shift))
+
+    src = tempfile.mkdtemp(prefix="q47src_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/0.parquet")
+        for i, df in ((1, recent), (2, late)):
+            t = tempfile.mkdtemp(prefix="q47w_")
+            try:
+                df.coalesce(1).write.mode("overwrite").parquet(t)
+                shutil.copy(
+                    glob.glob(f"{t}/part-*.parquet")[0], f"{src}/{i}.parquet"
+                )
+            finally:
+                shutil.rmtree(t, ignore_errors=True)
+        for i in range(3):  # pin micro-batch order via mtime
+            os.utime(f"{src}/{i}.parquet", (1_000_000_000 + i * 100,) * 2)
+        _Q47_SEQ[0] += 1
+        out, progress = run_append_counts_available_now(
+            spark, src, name=f"q47_wm_{_Q47_SEQ[0]}"
+        )
+        n_dup = (
+            out.groupBy("window_start", "event_type")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        dropped = sum(
+            int(p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+            for p in progress
+            if p.get("stateOperators")
+        )
+        if n_dup or dropped == 0:
+            raise AssertionError(
+                f"watermark contract violated: dup_keys={n_dup} "
+                f"dropped={dropped} (late path must drop, append must "
+                f"emit once)"
+            )
+        # memory-sink table is driver-resident; safe to remove src now
+        return out.select(
+            "window_start", "event_type", F.col("n").cast("long").alias("n")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+# the emitted relation is exactly the hourly counts over events whose
+# window closed under the final watermark max(ts) - 2h (window end =
+# trunc + 1h, so trunc + 3h <= max(ts)); the late batch's copies target
+# the OLDEST window, so if the drop contract broke, that window's count
+# inflates (hash) or re-emits (rows). Boundary note: window end ==
+# watermark exactly requires max(ts) to sit on a whole hour — the
+# events table carries microsecond timestamps, so the <= vs < choice
+# cannot flip on this data shape.
+Q47_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n
+FROM events, (SELECT MAX(ts) AS m FROM events) mx
+WHERE date_trunc('hour', ts) + INTERVAL 3 HOUR <= m
+GROUP BY 1, 2
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2186,4 +2286,5 @@ def catalog():
         "q44_dissolve": (q44_dissolve, Q44_SQL),
         "q45_resumable_stages": (q45_resumable_stages, Q45_SQL),
         "q46_audio_stats": (q46_audio_stats, _q46_sql()),
+        "q47_stream_watermark": (q47_stream_watermark, Q47_SQL),
     }

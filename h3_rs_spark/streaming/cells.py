@@ -59,6 +59,54 @@ def windowed_cell_counts(
     )
 
 
+def run_append_counts_available_now(
+    spark: SparkSession,
+    src_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    name: str = "append_counts",
+    max_files_per_trigger: int = 1,
+):
+    """APPEND-mode watermarked (window, event_type) counts drained with
+    availableNow, one source file per micro-batch — the surface that
+    actually exercises Spark's late-data contract (complete mode never
+    drops anything). Returns (sink_df, query_progresses); the caller
+    sequences the source files (q47: state-build batch, then an
+    eviction-triggering current batch, then a late batch whose rows
+    must not re-emit already-appended windows).
+
+    Empirical Spark-4.1 semantics pinned by q47's oracle: a late row
+    is only DROPPED once its window's state was evicted (emitted);
+    late rows arriving while the window is still in state legally
+    merge into it — watermark delay is a promise about state
+    finality, not an input filter."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        raise TimeoutError("append-counts stream did not drain in 300s")
+    return spark.table(name), list(q.recentProgress)
+
+
 def run_available_now(spark: SparkSession, src_path: str, out_path: str, res: int = 5):
     """Drain the source with the availableNow trigger (batch-equivalent)."""
     q = (
