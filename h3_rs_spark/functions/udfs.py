@@ -188,7 +188,9 @@ _EDGE_BOUNDARY_TYPE = ArrayType(
 
 
 def edge_boundary_udf():
-    """edge -> the shared boundary segment's two (lat, lng) vertices."""
+    """edge -> the shared boundary segment's (lat, lng) vertex list:
+    both true endpoints plus any Class III distortion vertices between
+    them (full H3 edge-boundary semantics since r5)."""
 
     @F.pandas_udf(_EDGE_BOUNDARY_TYPE)
     def _f(edge: pd.Series) -> pd.Series:
@@ -198,8 +200,9 @@ def edge_boundary_udf():
         return pd.Series(
             [
                 [
-                    {"lat": float(lat[i, 0]), "lng": float(lng[i, 0])},
-                    {"lat": float(lat[i, 1]), "lng": float(lng[i, 1])},
+                    {"lat": float(la), "lng": float(lg)}
+                    for la, lg in zip(lat[i], lng[i])
+                    if not np.isnan(la)
                 ]
                 for i in range(lat.shape[0])
             ]

@@ -108,18 +108,42 @@ def edge_is_valid(edge) -> np.ndarray:
 
 def edge_boundary(edge) -> tuple[np.ndarray, np.ndarray]:
     """Edge -> the shared boundary segment's (lat, lng) vertex arrays,
-    shape (N, 2): true vertices d-1 and d % nv of the origin boundary
-    (getH3UnidirectionalEdgeBoundary; Class III distortion vertices of
-    the full cell boundary lie between these endpoints and are
-    reported by the cell-level boundary surface, not per edge)."""
+    NaN-padded shape (N, K): the full H3 getH3UnidirectionalEdgeBoundary
+    semantics — the two true vertices d-1 and d % nv of the origin
+    boundary PLUS any Class III icosa-edge distortion vertices lying
+    between them, in traversal order (r5: retires the documented
+    2-endpoint divergence flagged by ADVICE r4; K is 2 plus the max
+    distortion-vertex count in the batch). True vertices are
+    bit-identical between the plain and distortion boundary forms
+    (validated by TestUnidirectionalEdges), so the segment is an exact
+    cyclic slice of the distortion boundary."""
     e = np.atleast_1d(np.asarray(edge, dtype=np.int64))
+    if e.shape[0] == 0:
+        z = np.empty((0, 2), dtype=np.float64)
+        return z, z.copy()
     origin = edge_origin(e)
     num = edge_number(e)
-    blat, blng = fk.h3_to_geo_boundary(origin, distortion=False)
-    nv = np.where(np.isnan(blat).any(axis=1), 5, 6)
+    plat, plng = fk.h3_to_geo_boundary(origin, distortion=False)
+    flat, flng = fk.h3_to_geo_boundary(origin, distortion=True)
+    nv = np.where(np.isnan(plat).any(axis=1), 5, 6)
     v0 = (num - 1) % nv
     v1 = num % nv
-    rows = np.arange(e.shape[0])
-    lat = np.stack([blat[rows, v0], blat[rows, v1]], axis=1)
-    lng = np.stack([blng[rows, v0], blng[rows, v1]], axis=1)
+    segs = []
+    for i in range(e.shape[0]):
+        fl = flat[i][~np.isnan(flat[i])]
+        fg = flng[i][~np.isnan(flng[i])]
+        i0 = int(np.flatnonzero((fl == plat[i, v0[i]]) & (fg == plng[i, v0[i]]))[0])
+        i1 = int(np.flatnonzero((fl == plat[i, v1[i]]) & (fg == plng[i, v1[i]]))[0])
+        idx = (
+            list(range(i0, i1 + 1))
+            if i0 <= i1
+            else list(range(i0, fl.shape[0])) + list(range(0, i1 + 1))
+        )
+        segs.append((fl[idx], fg[idx]))
+    k = max(2, max(len(s[0]) for s in segs))
+    lat = np.full((e.shape[0], k), np.nan)
+    lng = np.full((e.shape[0], k), np.nan)
+    for i, (sl, sg) in enumerate(segs):
+        lat[i, : len(sl)] = sl
+        lng[i, : len(sg)] = sg
     return lat, lng
