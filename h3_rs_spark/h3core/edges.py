@@ -126,24 +126,29 @@ def edge_boundary(edge) -> tuple[np.ndarray, np.ndarray]:
     plat, plng = fk.h3_to_geo_boundary(origin, distortion=False)
     flat, flng = fk.h3_to_geo_boundary(origin, distortion=True)
     nv = np.where(np.isnan(plat).any(axis=1), 5, 6)
+    rows = np.arange(e.shape[0])
     v0 = (num - 1) % nv
     v1 = num % nv
-    segs = []
-    for i in range(e.shape[0]):
-        fl = flat[i][~np.isnan(flat[i])]
-        fg = flng[i][~np.isnan(flng[i])]
-        i0 = int(np.flatnonzero((fl == plat[i, v0[i]]) & (fg == plng[i, v0[i]]))[0])
-        i1 = int(np.flatnonzero((fl == plat[i, v1[i]]) & (fg == plng[i, v1[i]]))[0])
-        idx = (
-            list(range(i0, i1 + 1))
-            if i0 <= i1
-            else list(range(i0, fl.shape[0])) + list(range(0, i1 + 1))
-        )
-        segs.append((fl[idx], fg[idx]))
-    k = max(2, max(len(s[0]) for s in segs))
-    lat = np.full((e.shape[0], k), np.nan)
-    lng = np.full((e.shape[0], k), np.nan)
-    for i, (sl, sg) in enumerate(segs):
-        lat[i, : len(sl)] = sl
-        lng[i, : len(sg)] = sg
+    # fully vectorized cyclic slice (r5 review: no per-row python in an
+    # Arrow-batched path): locate both true endpoints inside the
+    # distortion boundary by exact float match, then gather the wrapped
+    # index range and NaN-mask past each segment's length
+    nv_full = (~np.isnan(flat)).sum(axis=1)
+    i0 = np.argmax(
+        (flat == plat[rows, v0][:, None]) & (flng == plng[rows, v0][:, None]),
+        axis=1,
+    )
+    i1 = np.argmax(
+        (flat == plat[rows, v1][:, None]) & (flng == plng[rows, v1][:, None]),
+        axis=1,
+    )
+    seg_len = (i1 - i0) % nv_full + 1
+    k = max(2, int(seg_len.max()))
+    steps = np.arange(k)
+    idx = (i0[:, None] + steps[None, :]) % nv_full[:, None]
+    lat = flat[rows[:, None], idx]
+    lng = flng[rows[:, None], idx]
+    pad = steps[None, :] >= seg_len[:, None]
+    lat[pad] = np.nan
+    lng[pad] = np.nan
     return lat, lng

@@ -81,12 +81,16 @@ def knn_join(
 
     The contract is self-enforcing (VERDICT r4 #3): ONE bounded action
     — limit(N+1).toPandas(), never an unbounded scan — both probes the
-    size and materializes the common small batch, so driver memory is
-    capped at N+1 narrow rows and the queries plan executes exactly
-    once either way. Batches above `max_driver_queries` route straight
-    to the all-Spark distributed path — a caller piping 10^7 queries
-    through the convenience wrapper gets the right plan, not an OOM.
-    _LAST_ROUTE records the decision for tests/telemetry.
+    size and materializes the batch, so driver memory is capped at N+1
+    narrow rows (~a few MB at the default N). On the small-batch
+    routes the materialized rows ARE the inputs (the queries plan
+    never re-executes); the oversized route discards the probe and the
+    distributed path re-reads the plan once — one bounded transfer
+    buys skipping a second full execution everywhere it matters.
+    Batches above `max_driver_queries` route straight to the all-Spark
+    distributed path — a caller piping 10^7 queries through the
+    convenience wrapper gets the right plan, not an OOM. _LAST_ROUTE
+    records the decision for tests/telemetry.
     """
     q_pdf = (
         queries.select("query_id", "lat", "lng")
@@ -128,10 +132,16 @@ def knn_join(
             seed_prepared=True,
             initial_levels=sorted({p[0] for p in plans.values()}),
         )
+    # no-precheck small batch: reuse the already-materialized rows
+    # instead of re-executing the caller's queries plan (r5 review);
+    # an empty pandas frame cannot infer a schema, so fall back to the
+    # (trivially empty) original plan there
     return knn_join_distributed(
         spark,
         images,
-        queries.select("query_id", "lat", "lng"),
+        spark.createDataFrame(q_pdf)
+        if len(q_pdf)
+        else queries.select("query_id", "lat", "lng"),
         k,
         res,
         cell_col=cell_col,

@@ -822,6 +822,19 @@ def q23_h3_cell_density(spark, sf_dir):
             f"q23 density law violated: top_sum={top_sum} total={total} "
             f"n_top={n_top} n_cells={n_cells}"
         )
+    # oracle-domain guard (r5 review): the SQL oracle pins
+    # least(20, COUNT(*)), a proxy that equals the engine's
+    # least(20, n_cells) only when >=20 rows imply >=20 distinct cells
+    # (true for the input_hint geography at every provided sf). A
+    # fixture dense enough to break that assumption raises HERE with a
+    # diagnosis instead of surfacing as a silent hash mismatch.
+    if n_cells < min(20, total):
+        raise AssertionError(
+            f"q23 fixture outside oracle domain: {total} points collapse "
+            f"into only {n_cells} res-7 cells (<20) — the LEAST(20, "
+            f"COUNT(*)) oracle proxy cannot hold; use a geographically "
+            f"spread fixture"
+        )
     return spark.createDataFrame(
         [(int(total), int(n_top))], "total_points long, n_top long"
     )

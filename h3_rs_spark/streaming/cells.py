@@ -103,6 +103,10 @@ def run_append_counts_available_now(
         .start()
     )
     if not q.awaitTermination(300):
+        # stop the leaked query BEFORE raising: the caller's cleanup
+        # may remove the source dir, and a still-running stream would
+        # keep failing in the background for the session lifetime
+        q.stop()
         raise TimeoutError("append-counts stream did not drain in 300s")
     return spark.table(name), list(q.recentProgress)
 

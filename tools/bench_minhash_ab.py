@@ -79,11 +79,11 @@ def main():
         for impl in ("arrow", "jvm"):
             # isolate legs: minhash_lsh_dedup persists its signature
             # relation internally and earlier legs' stale caches would
-            # pressure later measurements (r5 review); keep only the
-            # tool's own corpus caches
+            # pressure later measurements (r5 review); re-cache only
+            # the corpus actually being benchmarked
             spark.catalog.clearCache()
-            big.persist()
-            big.count()
+            corpus.persist()
+            corpus.count()
             t0 = time.time()
             n = dedup.minhash_lsh_dedup(
                 corpus, jaccard_threshold=0.5, impl=impl
