@@ -21,8 +21,10 @@ query on violation instead of riding as echoed flags.
   values or UDF outputs, so the oracle pins numbers re-derived
   independently — fixed sf-independent fixtures (q24/q25/q28/q38/
   q42/q44), reference golden constants (q32/q36), arithmetic law
-  recomputes (q33/q43), or a from-the-byte-stream recompute with no
-  operator code in the path (q31/q35/q46). A regression that conserves counts but moves
+  recomputes (q33/q43), a from-the-byte-stream recompute with no
+  operator code in the path (q31/q35/q46), or engine-deterministic
+  sketch outputs over a fixed relation (q48, whose per-type exact
+  counts are simultaneously cross-engine recomputed). A regression that conserves counts but moves
   values breaks these hashes; kernel bit-exactness is additionally
   pinned by the 37 reference goldens in tests/.
 
@@ -2247,6 +2249,71 @@ GROUP BY 1, 2
 """
 
 
+def q48_sketch_stats(spark, sf_dir):
+    """Sketch surface for the 100-TB shape (the training-data ops'
+    'novel sketch' scale path): HLL++ cardinality and quantile
+    summaries, all JVM built-ins (approx_count_distinct /
+    percentile_approx) — the partial-aggregating, single-shuffle
+    operators a real pipeline uses where exact countDistinct would
+    shuffle every value. Three falsifiable parts: (a) per-event-type
+    EXACT distinct users + row counts, fully recomputed by DuckDB;
+    (b) the engine's HLL estimate must land within 3x its configured
+    rsd of the exact count — violations RAISE (the r5 law pattern);
+    (c) sketch outputs over a FIXED deterministic relation (100k rows,
+    9973 distinct keys, uniform 0..999 values; verified invariant
+    under 4/16/64-partition runs) pinned as VALUES — HLL register
+    packing at rsd 0.02 reads 9994 (+0.2% of truth), and
+    percentile_approx at full accuracy returns the exact discrete
+    quantiles 499/899/989. A sketch-merge or accuracy regression
+    shifts the pins; a Spark upgrade that changes HLL++ internals
+    breaks them loudly (same version-pin philosophy as the barrier
+    test)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("_hll"),
+    )
+    rows = per_type.collect()
+    for r in rows:
+        if abs(r["_hll"] - r["n_users"]) > max(3, 0.15 * r["n_users"]):
+            raise AssertionError(
+                f"HLL law violated for {r['event_type']}: estimate "
+                f"{r['_hll']} vs exact {r['n_users']} (rsd 0.05)"
+            )
+    fx = spark.range(0, 100_000, 1, 16).select(
+        (F.col("id") % 9973).alias("u"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    fa = fx.agg(
+        F.approx_count_distinct("u", 0.02).alias("hll"),
+        F.percentile_approx(
+            "v", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 100_000
+        ).alias("pq"),
+    ).first()
+    return (
+        spark.createDataFrame(
+            [(r["event_type"], r["n"], r["n_users"]) for r in rows],
+            "event_type string, n long, n_users long",
+        )
+        .withColumn("fx_exact_distinct", F.lit(9973).cast("long"))
+        .withColumn("fx_hll", F.lit(int(fa["hll"])).cast("long"))
+        .withColumn("fx_p50", F.lit(int(fa["pq"][0])).cast("long"))
+        .withColumn("fx_p90", F.lit(int(fa["pq"][1])).cast("long"))
+        .withColumn("fx_p99", F.lit(int(fa["pq"][2])).cast("long"))
+    )
+
+
+Q48_SQL = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       CAST(9973 AS BIGINT) AS fx_exact_distinct,
+       CAST(9994 AS BIGINT) AS fx_hll,
+       CAST(499 AS BIGINT) AS fx_p50, CAST(899 AS BIGINT) AS fx_p90,
+       CAST(989 AS BIGINT) AS fx_p99
+FROM events GROUP BY event_type
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2300,4 +2367,5 @@ def catalog():
         "q45_resumable_stages": (q45_resumable_stages, Q45_SQL),
         "q46_audio_stats": (q46_audio_stats, _q46_sql()),
         "q47_stream_watermark": (q47_stream_watermark, Q47_SQL),
+        "q48_sketch_stats": (q48_sketch_stats, Q48_SQL),
     }
