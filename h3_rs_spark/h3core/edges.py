@@ -134,14 +134,21 @@ def edge_boundary(edge) -> tuple[np.ndarray, np.ndarray]:
     # distortion boundary by exact float match, then gather the wrapped
     # index range and NaN-mask past each segment's length
     nv_full = (~np.isnan(flat)).sum(axis=1)
-    i0 = np.argmax(
-        (flat == plat[rows, v0][:, None]) & (flng == plng[rows, v0][:, None]),
-        axis=1,
-    )
-    i1 = np.argmax(
-        (flat == plat[rows, v1][:, None]) & (flng == plng[rows, v1][:, None]),
-        axis=1,
-    )
+    m0 = (flat == plat[rows, v0][:, None]) & (flng == plng[rows, v0][:, None])
+    m1 = (flat == plat[rows, v1][:, None]) & (flng == plng[rows, v1][:, None])
+    # np.argmax on an all-False row silently returns 0; the exact float
+    # match is a bit-identity contract between the distortion=False and
+    # distortion=True boundary paths — if a refactor ever breaks it,
+    # fail loudly instead of emitting a wrong segment (ADVICE r5)
+    if not (m0.any(axis=1).all() and m1.any(axis=1).all()):
+        bad = np.flatnonzero(~(m0.any(axis=1) & m1.any(axis=1)))
+        raise AssertionError(
+            "edge_boundary: true endpoint not found bit-identical in the "
+            f"distortion boundary for edges at batch rows {bad[:5].tolist()}"
+            " — the plain/distortion boundary paths have diverged"
+        )
+    i0 = np.argmax(m0, axis=1)
+    i1 = np.argmax(m1, axis=1)
     seg_len = (i1 - i0) % nv_full + 1
     k = max(2, int(seg_len.max()))
     steps = np.arange(k)

@@ -115,6 +115,38 @@ def last_bucket_stats() -> dict:
     return {k: int(row[k] or 0) for k in row.asDict()}
 
 
+_PERSISTED_INTERMEDIATES: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + register for release_cached(). The *_dedup operators
+    cache corpus-sized intermediates (signatures, LSH buckets) that the
+    returned pair relation's plan references — they cannot be
+    unpersisted inside the operator without killing the cache before
+    the caller's action. Tracking them here bounds the leak: a
+    long-lived session (bench loops re-running q14/q15/q17) calls
+    release_cached() after materializing and would otherwise accumulate
+    executor storage until a manual clearCache (ADVICE r5)."""
+    _PERSISTED_INTERMEDIATES.append(df.persist())
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate relation persisted by *_dedup calls
+    since the last release. Call AFTER the returned pairs are
+    materialized (localCheckpoint or collected) — the pair plan reads
+    these caches. Returns the number of relations released."""
+    n = 0
+    while _PERSISTED_INTERMEDIATES:
+        df = _PERSISTED_INTERMEDIATES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     """Candidate pairs (id_a < id_b) from LSH buckets.
 
@@ -299,16 +331,18 @@ def minhash_lsh_dedup(
     # persist signatures: they feed both self-join branches and the
     # verification re-attach — without this the signature stage runs 3x
     if impl == "jvm":
-        sig = minhash_signature_jvm(
-            df, text_col, id_col, num_hashes, shingle
-        ).persist()
+        sig = _persist_tracked(
+            minhash_signature_jvm(df, text_col, id_col, num_hashes, shingle)
+        )
     else:
-        sig = df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature_udf(num_hashes, shingle)(F.col(text_col)).alias(
-                "sig"
-            ),
-        ).persist()
+        sig = _persist_tracked(
+            df.select(
+                F.col(id_col).alias("id"),
+                minhash_signature_udf(num_hashes, shingle)(
+                    F.col(text_col)
+                ).alias("sig"),
+            )
+        )
     sig.count()  # materialize eagerly: parallel AQE query stages would
     # otherwise race the cache and run the Arrow UDF 2-4x concurrently
     band_cols = [
@@ -402,9 +436,12 @@ def simhash_dedup(
     verified exactly afterwards). Over-cap buckets star-pair: recall
     contract + last_bucket_stats() telemetry in _bucket_pairs."""
     df = _ensure_parallelism(df)
-    sim = df.select(
-        F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
-    ).persist()
+    sim = _persist_tracked(
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash_udf()(F.col(text_col)).alias("sh"),
+        )
+    )
     sim.count()  # eager: see minhash_lsh_dedup
     chunks = [
         F.struct(
@@ -508,10 +545,12 @@ def embedding_near_dup(
     # count for auto plane sizing from the cache — sizing must not cost
     # a second full scan of a possibly-expensive input plan (r5 review)
     df = _ensure_parallelism(df)
-    vecs0 = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).persist()
+    vecs0 = _persist_tracked(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
     n = vecs0.count()  # eager cache: see minhash_lsh_dedup
     if planes_per_band is None:
         planes_per_band = int(
@@ -533,7 +572,9 @@ def embedding_near_dup(
     # narrow bucket relation: the wide vectors stay cached once in
     # vecs0; caching v a second time alongside buckets would double
     # the storage footprint of the widest column
-    base = vecs0.select("id", _buckets("v").alias("buckets")).persist()
+    base = _persist_tracked(
+        vecs0.select("id", _buckets("v").alias("buckets"))
+    )
     base.count()  # eager: the bucket UDF feeds the pair join below
     banded = base.select("id", F.explode("buckets").alias("bucket"))
     dot = F.aggregate(

@@ -111,7 +111,13 @@ def run_append_counts_available_now(
     return spark.table(name), list(q.recentProgress)
 
 
-def run_available_now(spark: SparkSession, src_path: str, out_path: str, res: int = 5):
+def run_available_now(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    res: int = 5,
+    drain_timeout_sec: int = 300,
+):
     """Drain the source with the availableNow trigger (batch-equivalent)."""
     q = (
         windowed_cell_counts(events_stream(spark, src_path), res=res)
@@ -121,7 +127,16 @@ def run_available_now(spark: SparkSession, src_path: str, out_path: str, res: in
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(drain_timeout_sec):
+        # stop-then-raise (same pattern as run_append_counts_available_now,
+        # VERDICT r5 #1): a wedged stream must not silently hand back a
+        # partial sink — q34 would fail later with a confusing hash
+        # mismatch instead of this clear error — and must not keep
+        # running after the caller's cleanup removes the source dir
+        q.stop()
+        raise TimeoutError(
+            f"cell_counts stream did not drain in {drain_timeout_sec}s"
+        )
     out = spark.table("cell_counts")
     out.write.mode("overwrite").parquet(out_path)
     return out

@@ -3,6 +3,7 @@ column functions, and hex codec tests."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from h3_rs_spark.functions import native
@@ -115,6 +116,46 @@ class TestStreaming:
         x = exp.sort_values(list(exp.columns), ignore_index=True)
         pd.testing.assert_frame_equal(g, x, check_dtype=False)
 
+    def test_available_now_drain_timeout_raises(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """VERDICT r5 #1: run_available_now must stop-then-raise on a
+        drain timeout (like its sibling run_append_counts_available_now)
+        instead of silently writing a partial sink. The wedge is
+        simulated by forcing awaitTermination to report a timeout."""
+        import shutil
+
+        from pyspark.sql.streaming import StreamingQuery
+
+        from h3_rs_spark.streaming.cells import run_available_now
+
+        src = tmp_path / "events_src_t"
+        src.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/events.parquet", src / "part-0.parquet"
+        )
+        stopped = []
+        orig_stop = StreamingQuery.stop
+        monkeypatch.setattr(
+            StreamingQuery,
+            "awaitTermination",
+            lambda self, timeout=None: False,
+        )
+        monkeypatch.setattr(
+            StreamingQuery,
+            "stop",
+            lambda self: (stopped.append(True), orig_stop(self))[1],
+        )
+        with pytest.raises(TimeoutError, match="did not drain"):
+            run_available_now(
+                spark,
+                str(src),
+                str(tmp_path / "out_t"),
+                res=4,
+                drain_timeout_sec=1,
+            )
+        assert stopped, "the wedged query must be stopped before raising"
+
 
 class TestBucketing:
     def test_colocated_join_no_shuffle(self, spark, tmp_path):
@@ -217,7 +258,14 @@ class TestOptimizerBarrier:
             "in functions/udfs.py was validated against the 4.1 "
             "optimizer (isnotnull constraint pushdown re-embedding the "
             "Arrow encode, see test_pip_probe_single_encode_eval). "
-            "Reproduce the trap on this version, then update this pin."
+            "Reproduce the trap on this version, then update this pin. "
+            "Upgrade playbook — TWO version couplings break together: "
+            "(1) this barrier; (2) q48's sketch pins (queries.py "
+            "Q48_SQL: HLL register readout 9994 @ rsd 0.02 and "
+            "percentile_approx 499/899/989) are INTENDED to break "
+            "loudly if the upgrade changes HLL++/KLL internals — "
+            "re-derive them from the fixed fx relation, don't loosen "
+            "the law."
         )
         from h3_rs_spark.functions.udfs import (
             geo_disk_dyn_udf, geo_to_h3_udf,

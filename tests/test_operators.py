@@ -165,9 +165,10 @@ class TestKnn:
                                                 oracle_geo):
         """VERDICT r4 #3: the convenience wrapper's driver-side
         toPandas is guarded — a batch above max_driver_queries must
-        route to the all-Spark distributed path (probe is
-        limit(N+1).count(), never a full materialization) and still
-        return the exact rows. Exercised with a lowered guard so the
+        route to the all-Spark distributed path (the probe is
+        limit(N+1).toPandas() — a bounded N+1-row driver
+        materialization reused as the small-batch input, never an
+        unbounded scan) and still return the exact rows. Exercised with a lowered guard so the
         identical code path a 10^7-query caller would hit runs in
         test time."""
         from h3_rs_spark.operators import knn as knn_mod
