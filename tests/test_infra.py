@@ -79,6 +79,52 @@ class TestStageRunner:
             ("double", "ran"), ("double", "resumed"), ("double", "ran"),
         ]
 
+    def test_stale_input_mutation_forces_rerun(self, spark, tmp_path):
+        """VERDICT r5 #3: with inputs= the effective fingerprint folds
+        in the physical file metadata, so an upstream parquet mutated
+        in place (caller fingerprint string UNCHANGED) re-runs as
+        `stale_rerun`; an untouched upstream still resumes; and a
+        deliberate logical-fingerprint change stays an ordinary `ran`."""
+        import time as _time
+
+        src = str(tmp_path / "src")
+        spark.range(50).write.mode("overwrite").parquet(src)
+        calls = []
+
+        def make():
+            calls.append(1)
+            return spark.read.parquet(src).withColumn(
+                "v", F.col("id") * 3
+            )
+
+        r = StageRunner(spark, str(tmp_path / "wh"), run_id="t2")
+        r.stage("s", "fixed", make, inputs=[src])
+        r.stage("s", "fixed", make, inputs=[src])
+        assert calls == [1]  # untouched inputs resume
+        _time.sleep(0.01)  # ensure distinct mtime_ns even on coarse fs
+        spark.range(80).write.mode("overwrite").parquet(src)
+        out = r.stage("s", "fixed", make, inputs=[src])
+        assert calls == [1, 1] and out.count() == 80
+        r.stage("s", "fixed-v2", make, inputs=[src])
+        assert r.history() == [
+            ("s", "ran"),
+            ("s", "resumed"),
+            ("s", "stale_rerun"),
+            ("s", "ran"),  # deliberate change is NOT "stale"
+        ]
+
+    def test_input_fingerprint_metadata_only(self, tmp_path):
+        from h3_rs_spark.plans.stages import input_fingerprint
+
+        f = tmp_path / "a.bin"
+        f.write_bytes(b"xyz")
+        fp1 = input_fingerprint(str(f))
+        assert fp1 == input_fingerprint(str(f))  # stable
+        f.write_bytes(b"xyzw")  # size change
+        assert input_fingerprint(str(f)) != fp1
+        missing = input_fingerprint(str(tmp_path / "nope"))
+        assert missing != fp1  # missing path fingerprints, not raises
+
     def test_metrics_and_lineage(self, spark, tmp_path):
         runner = StageRunner(spark, str(tmp_path), run_id="t2")
         runner.stage("s1", "f", lambda: spark.range(10))
