@@ -2428,6 +2428,108 @@ GROUP BY l_returnflag
 """
 
 
+def q50_stream_dedup_parquet_sink(spark, sf_dir):
+    """Streaming dedup through the DISTRIBUTED parquet sink (VERDICT r5
+    #6): q40 proves the state machine via a driver-resident memory sink;
+    this drives the scale-real path — foreachBatch parquet append with a
+    checkpoint, final state recovered by a distributed last-update-wins
+    aggregation over the sink (run_dedup_to_path), so the result set
+    never has to fit on the driver.
+
+    Source = three mtime-ordered files (original documents + two
+    full copies with data-derived id shifts), maxFilesPerTrigger=2 →
+    exactly 2 micro-batches, with the second batch's copies arriving
+    AFTER their hashes were first seen — the cross-batch state path is
+    load-bearing, not incidental. Engine-side laws raise: exactly 2
+    distinct batch_ids in the sink; every content hash emitted in
+    exactly 2 batches (update mode emits one row per key per batch it
+    appears in); per-group dup_count ≥ 3. The oracle recomputes
+    n_groups / n_docs=3·rows / keeps-are-originals / sink-row-count
+    2·groups from the documents table by plain SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.dedup_stream import run_dedup_to_path
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    max_id = int(docs.agg(F.max("doc_id")).first()[0])
+    shift = max_id + 1
+    work = tempfile.mkdtemp(prefix="q50_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/0.parquet")
+        for i in (1, 2):
+            t = os.path.join(work, f"w{i}")
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * shift)
+            ).coalesce(1).write.mode("overwrite").parquet(t)
+            shutil.copy(
+                glob.glob(f"{t}/part-*.parquet")[0], f"{src}/{i}.parquet"
+            )
+        for i in range(3):  # pin micro-batch order via mtime (q47 pattern)
+            os.utime(f"{src}/{i}.parquet", (1_000_000_000 + i * 100,) * 2)
+        final = run_dedup_to_path(
+            spark,
+            src,
+            os.path.join(work, "sink"),
+            os.path.join(work, "ckpt"),
+        )
+        sink = spark.read.parquet(os.path.join(work, "sink"))
+        n_batches = sink.select("batch_id").distinct().count()
+        n_sink_rows = sink.count()
+        bad_emission = (
+            sink.groupBy("content_hash")
+            .count()
+            .where(F.col("count") != 2)
+            .count()
+        )
+        min_dups = final.agg(F.min("dup_count")).first()[0]
+        if n_batches != 2 or bad_emission or (min_dups or 0) < 3:
+            raise AssertionError(
+                "parquet-sink stream contract violated: "
+                f"n_batches={n_batches} (want 2), "
+                f"hashes_not_in_2_batches={bad_emission}, "
+                f"min_dup_count={min_dups} (want >=3)"
+            )
+        agg = final.agg(
+            F.count("*").alias("n_groups"),
+            F.sum("dup_count").cast("long").alias("n_docs"),
+            F.sum((F.col("keep_id") <= max_id).cast("long")).alias(
+                "n_keep_original"
+            ),
+        ).first()  # materialize BEFORE the sink dir is removed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                agg["n_groups"],
+                agg["n_docs"],
+                agg["n_keep_original"],
+                n_batches,
+                n_sink_rows,
+            )
+        ],
+        "n_groups long, n_docs long, n_keep_original long,"
+        " n_batches long, n_sink_rows long",
+    )
+
+
+Q50_SQL = """
+SELECT COUNT(DISTINCT md5(text)) AS n_groups,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_keep_original,
+       CAST(2 AS BIGINT) AS n_batches,
+       CAST(2 * COUNT(DISTINCT md5(text)) AS BIGINT) AS n_sink_rows
+FROM documents
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2483,4 +2585,8 @@ def catalog():
         "q47_stream_watermark": (q47_stream_watermark, Q47_SQL),
         "q48_sketch_stats": (q48_sketch_stats, Q48_SQL),
         "q49_stale_input_rerun": (q49_stale_input_rerun, Q49_SQL),
+        "q50_stream_dedup_parquet_sink": (
+            q50_stream_dedup_parquet_sink,
+            Q50_SQL,
+        ),
     }
