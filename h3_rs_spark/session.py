@@ -84,6 +84,18 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_ADVERSE") == "1":
+        # adverse-config sweep (VERDICT r5 #2): kill every automatic
+        # rescue — no auto-broadcast, no AQE replanning/skew-split — so
+        # a gate run proves the engine's EXPLICIT F.broadcast hints and
+        # salting carry the plans, not optimizer luck
+        builder = (
+            builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+            .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            .config("spark.sql.adaptive.enabled", "false")
+            .config("spark.sql.adaptive.skewJoin.enabled", "false")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
     spark = builder.getOrCreate()

@@ -137,3 +137,114 @@ def test_dissolve_disk_single_ring(lat, lng, res, k):
     rings = cells_to_multipolygon(disk)
     assert len(rings) == 1
     assert 5 <= len(rings[0]) <= 6 * (2 * k + 1)
+
+
+class TestVolumeFuzz:
+    """VERDICT r5 #5: the goldens and the hypothesis properties above
+    are point checks; the kernel's 100-TB job is to never be wrong
+    ANYWHERE. Seed-pinned volume sweeps, pure numpy (no Spark):
+    10^6 sphere points through encode->decode->encode at all 16
+    resolutions, boundary->PIP self-containment at 2*10^5 cells, and
+    random k-disk dissolve->polyfill exact round-trips — each batch
+    salted with adversarial bands (poles, antimeridian, pentagon
+    faces) where the planar shortcuts would break first."""
+
+    @staticmethod
+    def _fuzz_points(n: int, seed: int):
+        rng = np.random.default_rng(seed)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        lng = rng.uniform(-180.0, 180.0, n)
+        s = n // 30  # three adversarial bands, ~10% of the batch total
+        # polar caps
+        lat[:s] = np.where(rng.random(s) < 0.5, 1.0, -1.0) * rng.uniform(
+            89.9, 89.9999, s
+        )
+        # antimeridian sliver
+        lng[s : 2 * s] = np.where(
+            rng.random(s) < 0.5, 1.0, -1.0
+        ) * rng.uniform(179.9, 179.99999, s)
+        # pentagon faces: jittered centroids of the 12 res-0 pentagons
+        res0 = ix.from_components(
+            np.arange(122, dtype=np.int64), 0, np.full((122, 15), 7)
+        )
+        pents = res0[ix.is_pentagon(res0)]
+        assert len(pents) == 12
+        plat, plng = h3.h3_to_geo(pents)
+        pick = rng.integers(0, 12, s)
+        lat[2 * s : 3 * s] = np.clip(
+            plat[pick] + rng.normal(0, 0.5, s), -89.9999, 89.9999
+        )
+        lng[2 * s : 3 * s] = (
+            (plng[pick] + rng.normal(0, 0.5, s) + 180.0) % 360.0
+        ) - 180.0
+        return lat, lng
+
+    def test_volume_encode_decode_roundtrip(self):
+        n = 1_000_000
+        lat, lng = self._fuzz_points(n, seed=1234)
+        res_of = np.arange(n) % 16
+        for r in range(16):
+            m = res_of == r
+            cells = h3.geo_to_h3(lat[m], lng[m], r)
+            assert ix.is_valid(cells).all(), f"res {r}: invalid encodes"
+            clat, clng = h3.h3_to_geo(cells)
+            again = h3.geo_to_h3(clat, clng, r)
+            bad = int((again != cells).sum())
+            assert bad == 0, f"res {r}: {bad}/{m.sum()} roundtrip failures"
+
+    def test_volume_boundary_self_containment(self):
+        from h3_rs_spark.h3core import geom
+
+        n = 200_000
+        lat, lng = self._fuzz_points(n, seed=987)
+        res_of = np.arange(n) % 16
+        for r in range(16):
+            cells = np.unique(h3.geo_to_h3(lat[res_of == r], lng[res_of == r], r))
+            blat, blng = h3.h3_to_geo_boundary(cells)
+            nv = (~np.isnan(blat)).sum(axis=1)
+            assert ((nv >= 5) & (nv <= 10)).all(), f"res {r}: vertex count"
+            clat, clng = h3.h3_to_geo(cells)
+            cxyz = geom.geo_to_xyz(np.radians(clat), np.radians(clng))
+            vxyz = geom.geo_to_xyz(np.radians(blat), np.radians(blng))
+            eps = 1e-3
+            p = (1 - eps) * vxyz + eps * cxyz[:, None, :]
+            p = p / np.linalg.norm(p, axis=-1, keepdims=True)
+            nlat = np.degrees(np.arcsin(np.clip(p[..., 2], -1, 1)))
+            nlng = np.degrees(np.arctan2(p[..., 1], p[..., 0]))
+            valid = ~np.isnan(blat)
+            owner = np.broadcast_to(cells[:, None], blat.shape)[valid]
+            got = h3.geo_to_h3(nlat[valid], nlng[valid], r)
+            bad = int((got != owner).sum())
+            assert bad == 0, (
+                f"res {r}: {bad}/{valid.sum()} nudged boundary vertices "
+                "escaped their cell"
+            )
+
+    def test_volume_disk_dissolve_polyfill_roundtrip(self):
+        """Dissolve a random k-disk to its polygon, polyfill the polygon
+        back at the same res -> the EXACT original cell set (polyfill is
+        centroid-in-polygon; every disk centroid is strictly inside the
+        dissolved boundary, every outside-neighbor centroid outside)."""
+        from h3_rs_spark.h3core.regions import (
+            cells_to_multipolygon, polyfill,
+        )
+
+        lat, lng = self._fuzz_points(150, seed=555)
+        rng = np.random.default_rng(777)
+        ks = rng.integers(1, 4, 150)
+        res_list = rng.integers(3, 10, 150)
+        n_checked = 0
+        for i in range(150):
+            r, k = int(res_list[i]), int(ks[i])
+            cell = h3.geo_to_h3(lat[i : i + 1], lng[i : i + 1], r)
+            _, disk = tv.k_ring(cell, k)
+            rings = cells_to_multipolygon(disk)
+            # disks dissolve to a single outer ring (no holes possible)
+            assert len(rings) == 1, f"case {i}: {len(rings)} rings"
+            back = polyfill(rings[0], [], r)
+            assert set(back.tolist()) == set(disk.tolist()), (
+                f"case {i} (res {r}, k {k}): polyfill round-trip "
+                f"mismatch {len(back)} vs {len(disk)}"
+            )
+            n_checked += 1
+        assert n_checked == 150
