@@ -15,6 +15,12 @@
 
 All signature computation is Arrow-batched numpy (no per-row Python in
 the heavy path); pair generation is a self-join on bucket keys.
+
+r6: the three LSH operators default to distinct_content=True — buckets
+see ONE representative per distinct content and member pairs expand
+afterward, so duplicate-heavy corpora (the r6 sf10 proof run: 100-member
+exact-dup groups → C(100,2)·groups·bands candidate rows → 77 GB of
+shuffle spill) cost LSH work proportional to distinct content only.
 """
 
 from __future__ import annotations
@@ -145,6 +151,89 @@ def release_cached() -> int:
         except Exception:
             pass
     return n
+
+
+def _tag_representatives(rel: DataFrame, key_col: str):
+    """(members, rep_rel): one window pass over the cached signature
+    relation assigns every row its group's min-id representative —
+    members = narrow (id, _rep) long pairs; rep_rel = the rows whose id
+    IS the representative, signature retained. ONE shuffle on the
+    (possibly wide) signature key; every downstream expansion join is
+    long-keyed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    tagged = _persist_tracked(
+        rel.withColumn("_rep", F.min("id").over(w)).withColumn(
+            "_n", F.count("*").over(w)
+        )
+    )
+    members = tagged.select("id", "_rep", "_n")
+    rep_rel = tagged.where(F.col("id") == F.col("_rep")).drop("_rep", "_n")
+    return members, rep_rel
+
+
+def _expand_member_pairs(
+    members: DataFrame,
+    rep_pairs: DataFrame,
+    metric_col: str,
+    exact_value,
+) -> DataFrame:
+    """Expand representative pairs back to member pairs (id_a < id_b).
+
+    The motivating blow-up, found by the r6 sf10 proof run: a corpus
+    with D-member exact-duplicate groups sends all D copies through
+    banded LSH, and every band of every group emits C(D,2) candidate
+    rows — 77 GB of shuffle spill for 500k docs at D=100. The pair
+    metrics are pure functions of the signatures, so the operators
+    instead band ONE representative per distinct signature (members =
+    (id, _gh), reps = (_gh, _rep)) and this helper restores the full
+    member-pair relation afterward.
+
+    Cross-group: each (rep_a, rep_b, metric) row fans out to all member
+    pairs of the two groups, carrying the SAME metric. Within-group:
+    all C(n,2) pairs of every multi-member group with the
+    exact-duplicate metric value — emitted directly from the membership
+    relation, never through LSH buckets, so exact-duplicate recall is
+    structurally 100% and immune to bucket caps. Output size is
+    inherently quadratic in group size (that is the all-pairs
+    CONTRACT); the expansion is narrow (two ids + metric) and
+    output-proportional — no amplified intermediate. All joins here are
+    long-keyed on ids (_tag_representatives confines the wide signature
+    key to its single window shuffle)."""
+    metric_type = rep_pairs.schema[metric_col].dataType
+    ma = members.select(
+        F.col("_rep").alias("id_a"), F.col("id").alias("_ma")
+    )
+    mb = members.select(
+        F.col("_rep").alias("id_b"), F.col("id").alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            F.col(metric_col),
+        )
+    )
+    # only multi-member groups contribute within-group pairs — on a
+    # mostly-unique corpus this self-join input is near-empty
+    multi = members.where(F.col("_n") >= 2)
+    within = (
+        multi.alias("x")
+        .join(
+            multi.alias("y"),
+            (F.col("x._rep") == F.col("y._rep"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(exact_value).cast(metric_type).alias(metric_col),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
@@ -310,13 +399,24 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.7,
     bucket_cap: int = 10_000,
     impl: str = "arrow",
+    distinct_content: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
-    Recall contract: exact duplicates are always surfaced; NEAR dups
-    inside a bucket that exceeds bucket_cap may only pair through the
-    bucket's min-id anchor (see _bucket_pairs) — check
-    last_bucket_stats() after an action and raise bucket_cap if its
+    distinct_content=True (default, r6): banding/pairing runs on ONE
+    representative per distinct SIGNATURE and member pairs are expanded
+    afterward (_expand_member_pairs) — exact duplicates never enter a
+    bucket, their recall is structurally 100% regardless of bucket_cap,
+    and LSH join work scales with distinct content, not raw rows (the
+    r6 sf10 run measured 77 GB of spill from 100-member duplicate
+    groups without this). Bit-identical output to the legacy path
+    (est_jaccard is a pure function of the signatures). False preserves
+    the legacy every-row-through-buckets path.
+
+    Recall contract for NEAR (non-identical) dups: unchanged — a bucket
+    exceeding bucket_cap pairs only through its min-id anchor (see
+    _bucket_pairs); check last_bucket_stats() (now counted over
+    distinct-content rows) after an action and raise bucket_cap if its
     counters are nonzero.
 
     impl: "arrow" (pandas-UDF signatures, default) or "jvm"
@@ -345,6 +445,16 @@ def minhash_lsh_dedup(
         )
     sig.count()  # materialize eagerly: parallel AQE query stages would
     # otherwise race the cache and run the Arrow UDF 2-4x concurrently
+    members = None
+    if distinct_content:
+        # collapse on the SIGNATURE (not the raw text): est_jaccard is a
+        # pure function of the two signatures, so banding one row per
+        # distinct signature and expanding afterward reproduces the
+        # legacy output bit-for-bit (identical-sig pairs score est 1.0
+        # on both paths). Signatures still compute for every row
+        # (linear, Arrow-fast); the collapse costs one window shuffle
+        # over the cached sig relation.
+        members, sig = _tag_representatives(sig, "sig")
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -371,11 +481,14 @@ def minhash_lsh_dedup(
             lambda m: m,
         )
     ).cast("double") / F.lit(float(num_hashes))
-    return (
+    out = (
         pairs.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    if distinct_content:
+        out = _expand_member_pairs(members, out, "est_jaccard", 1.0)
+    return out
 
 
 def simhash_udf(shingle: int = 3):
@@ -429,12 +542,18 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bucket_cap: int = 10_000,
+    distinct_content: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, banded on 4x16-bit
     chunks (a pair within hamming<=3 shares at least one exact chunk;
     wider distances may need more bands — standard recall/cost tradeoff,
     verified exactly afterwards). Over-cap buckets star-pair: recall
-    contract + last_bucket_stats() telemetry in _bucket_pairs."""
+    contract + last_bucket_stats() telemetry in _bucket_pairs.
+    distinct_content=True (default): buckets see one representative per
+    distinct 64-bit simhash VALUE (hamming is a pure function of the
+    two values, so the collapse+expansion reproduces the legacy output
+    exactly); member pairs expand afterward with hamming 0 within
+    groups — see minhash_lsh_dedup."""
     df = _ensure_parallelism(df)
     sim = _persist_tracked(
         df.select(
@@ -443,6 +562,9 @@ def simhash_dedup(
         )
     )
     sim.count()  # eager: see minhash_lsh_dedup
+    members = None
+    if distinct_content:
+        members, sim = _tag_representatives(sim, "sh")
     chunks = [
         F.struct(
             F.lit(i).alias("band"),
@@ -461,11 +583,14 @@ def simhash_dedup(
         .join(sim.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if distinct_content:
+        out = _expand_member_pairs(members, out, "hamming", 0)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -519,6 +644,7 @@ def embedding_near_dup(
     cos_threshold: float = 0.25,
     bucket_cap: int = 10_000,
     target_bucket_size: int = 64,
+    distinct_content: bool = True,
 ) -> DataFrame:
     """Cosine near-dup pairs via *banded* random-hyperplane LSH + exact
     verify: a pair is a candidate if any band's sign pattern matches
@@ -540,7 +666,13 @@ def embedding_near_dup(
     falling at extreme corpus sizes (p=18 -> ~64%) — raise `bands`
     there; the dials are the standard LSH trade. Over-cap buckets
     star-pair: recall contract + last_bucket_stats() telemetry in
-    _bucket_pairs."""
+    _bucket_pairs.
+
+    distinct_content=True (default): LSH runs on one representative per
+    distinct vector (grouped on the exact array — at extreme scale
+    substitute a 128-bit content digest) and member pairs expand with
+    cos_sim 1.0 within groups; see minhash_lsh_dedup. The auto plane
+    sizing then counts DISTINCT vectors, the correct occupancy basis."""
     # cache the (id, vector) projection FIRST, then derive the corpus
     # count for auto plane sizing from the cache — sizing must not cost
     # a second full scan of a possibly-expensive input plan (r5 review)
@@ -551,7 +683,14 @@ def embedding_near_dup(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    n = vecs0.count()  # eager cache: see minhash_lsh_dedup
+    vecs0.count()  # eager cache: see minhash_lsh_dedup
+    members = None
+    if distinct_content:
+        # collapse on the raw vector array (exact equality; at extreme
+        # scale substitute a 128-bit content digest) — one window
+        # shuffle over the cached projection, see minhash_lsh_dedup
+        members, vecs0 = _tag_representatives(vecs0, "v")
+    n = vecs0.count()  # distinct-vector count: the occupancy basis
     if planes_per_band is None:
         planes_per_band = int(
             min(24, max(4, np.ceil(np.log2(max(n, 1) / target_bucket_size))))
@@ -600,4 +739,7 @@ def embedding_near_dup(
         )
         .where(F.col("cos_sim") >= cos_threshold)
     )
-    return pairs.select("id_a", "id_b", "cos_sim")
+    out = pairs.select("id_a", "id_b", "cos_sim")
+    if distinct_content:
+        out = _expand_member_pairs(members, out, "cos_sim", 1.0)
+    return out

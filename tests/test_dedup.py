@@ -56,10 +56,11 @@ class TestBucketCapSemantics:
         }
 
     def test_exact_dups_survive_cap_connected(self, spark):
-        """End-to-end: 4 identical docs with bucket_cap=2 (every band's
-        bucket is hot). All-pairs would be 6 pairs; the contract only
-        guarantees CONNECTIVITY through the min-id anchor — and exact
-        dups must never vanish entirely."""
+        """End-to-end on the LEGACY every-row-through-buckets path
+        (distinct_content=False): 4 identical docs with bucket_cap=2
+        (every band's bucket is hot). All-pairs would be 6 pairs; the
+        contract only guarantees CONNECTIVITY through the min-id anchor
+        — and exact dups must never vanish entirely."""
         docs = [(i, "the exact same document text repeated verbatim")
                 for i in (10, 11, 12, 13)]
         docs += [(20 + i, f"unique filler document number {i} "
@@ -69,7 +70,7 @@ class TestBucketCapSemantics:
             pd.DataFrame(docs, columns=["doc_id", "text"])
         )
         pairs = dedup.minhash_lsh_dedup(
-            df, jaccard_threshold=0.9, bucket_cap=2
+            df, jaccard_threshold=0.9, bucket_cap=2, distinct_content=False
         )
         got = _pairs_set(pairs)
         star = {(10, 11), (10, 12), (10, 13)}
@@ -80,6 +81,80 @@ class TestBucketCapSemantics:
         stats = dedup.last_bucket_stats()
         assert stats["hot_buckets"] > 0
         assert stats["skipped_pairs"] > 0
+
+    def test_distinct_content_full_exact_recall_under_cap(self, spark):
+        """r6 default path: the same 4-identical-doc corpus under the
+        same hostile bucket_cap=2 now recovers ALL C(4,2)=6 exact pairs
+        at est_jaccard exactly 1.0 — duplicates never enter a bucket
+        (one representative per distinct text does), so exact-dup
+        recall is structurally immune to the cap. (Buckets can still
+        run hot from NEAR-identical distinct texts — the fillers here —
+        which is the cap's actual domain.)"""
+        docs = [(i, "the exact same document text repeated verbatim")
+                for i in (10, 11, 12, 13)]
+        docs += [(20 + i, f"unique filler document number {i} "
+                          f"with distinct content {i * 17}")
+                 for i in range(6)]
+        df = spark.createDataFrame(
+            pd.DataFrame(docs, columns=["doc_id", "text"])
+        )
+        pairs = dedup.minhash_lsh_dedup(
+            df, jaccard_threshold=0.9, bucket_cap=2
+        ).toPandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        allp = {(a, b) for a in (10, 11, 12, 13)
+                for b in (10, 11, 12, 13) if a < b}
+        assert allp <= got
+        assert (
+            pairs.set_index(["id_a", "id_b"])  # every dup pair exact
+            .loc[list(allp), "est_jaccard"] == 1.0
+        ).all()
+        dedup.release_cached()
+
+    def test_distinct_content_matches_legacy_on_natural_corpus(self, spark):
+        """On a corpus with duplicates AND near-dups, the default
+        representative path must return the SAME pair set and metrics
+        as the legacy path (signatures are content functions — the
+        collapse is semantics-preserving)."""
+        base = [
+            (i, f"document body shared prefix tokens {i % 3} and some "
+                f"more filler text common to the family variant {i % 3}")
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(base, columns=["doc_id", "text"])
+        )
+        kw = dict(jaccard_threshold=0.3, num_hashes=32, bands=8)
+        legacy = dedup.minhash_lsh_dedup(
+            df, distinct_content=False, **kw
+        ).toPandas()
+        new = dedup.minhash_lsh_dedup(df, **kw).toPandas()
+        dedup.release_cached()
+        key = ["id_a", "id_b"]
+        lg = legacy.sort_values(key, ignore_index=True)
+        nw = new.sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(lg, nw, check_dtype=False)
+
+    def test_distinct_content_embedding_matches_legacy(self, spark):
+        """Same equivalence for the hyperplane-LSH embedding operator,
+        grouping on the raw vector array."""
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((8, 64))
+        vecs = np.vstack([base, base[:4]])  # 4 exact duplicate vectors
+        rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        kw = dict(cos_threshold=0.9)
+        legacy = dedup.embedding_near_dup(
+            df, distinct_content=False, **kw
+        ).toPandas()
+        new = dedup.embedding_near_dup(df, **kw).toPandas()
+        dedup.release_cached()
+        key = ["id_a", "id_b"]
+        lg = legacy.sort_values(key, ignore_index=True)
+        nw = new.sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(lg, nw, check_dtype=False)
 
     def test_recall_at_cap_measured(self, spark):
         """The star-pairing recall trade, MEASURED (VERDICT r3 #6): an
