@@ -154,22 +154,43 @@ def release_cached() -> int:
 
 
 def _tag_representatives(rel: DataFrame, key_col: str):
-    """(members, rep_rel): one window pass over the cached signature
-    relation assigns every row its group's min-id representative —
-    members = narrow (id, _rep) long pairs; rep_rel = the rows whose id
-    IS the representative, signature retained. ONE shuffle on the
-    (possibly wide) signature key; every downstream expansion join is
-    long-keyed."""
-    from pyspark.sql import Window
+    """(members, rep_rel): one partial-agg'd groupBy over the cached
+    signature relation collapses each distinct signature to its min-id
+    representative. members = (id, _rep, _n) long rows for MULTI-member
+    groups only (singletons need no expansion — _expand_member_pairs
+    passes them through); rep_rel = one (id, signature) row per
+    distinct signature for banding.
 
-    w = Window.partitionBy(key_col)
-    tagged = _persist_tracked(
-        rel.withColumn("_rep", F.min("id").over(w)).withColumn(
-            "_n", F.count("*").over(w)
+    groupBy beats the earlier window formulation on both axes that
+    matter at scale: map-side combine moves each wide signature key
+    once per distinct signature per mapper instead of once per ROW (on
+    the duplicate-heavy corpora this path exists for, that is the
+    difference between shuffling distinct content and shuffling the
+    corpus), and the persisted relation is one row per distinct
+    signature, not a corpus-sized tagged copy. Member ids ride along as
+    a collect_list — bounded by the largest duplicate group, which the
+    all-pairs OUTPUT contract already bounds far harder (a D-member
+    group emits C(D,2) pairs; any D large enough to stress one task's
+    list is a D whose pair output is infeasible first)."""
+    agg = _persist_tracked(
+        rel.groupBy(key_col)
+        .agg(
+            F.min("id").alias("_rep"),
+            F.count("*").alias("_n"),
+            F.collect_list("id").alias("_ids"),
         )
+        # the groupBy emits shuffle.partitions output splits (2x cores
+        # here); every downstream stage over the cache would inherit
+        # that task count. Coalesce (no shuffle) back to the cluster's
+        # parallelism so the banding/pairing stages run one wave
+        .coalesce(rel.sparkSession.sparkContext.defaultParallelism)
     )
-    members = tagged.select("id", "_rep", "_n")
-    rep_rel = tagged.where(F.col("id") == F.col("_rep")).drop("_rep", "_n")
+    agg.count()  # eager: rep_rel and members both read this cache —
+    # lazy, AQE's parallel query stages would race and recompute it
+    members = agg.where(F.col("_n") >= 2).select(
+        "_rep", "_n", F.explode("_ids").alias("id")
+    )
+    rep_rel = agg.select(F.col("_rep").alias("id"), key_col)
     return members, rep_rel
 
 
@@ -178,6 +199,7 @@ def _expand_member_pairs(
     rep_pairs: DataFrame,
     metric_col: str,
     exact_value,
+    cap: int = 0,
 ) -> DataFrame:
     """Expand representative pairs back to member pairs (id_a < id_b).
 
@@ -187,43 +209,65 @@ def _expand_member_pairs(
     rows — 77 GB of shuffle spill for 500k docs at D=100. The pair
     metrics are pure functions of the signatures, so the operators
     instead band ONE representative per distinct signature (members =
-    (id, _gh), reps = (_gh, _rep)) and this helper restores the full
-    member-pair relation afterward.
+    (id, _rep, _n) rows for multi-member groups, from
+    _tag_representatives) and this helper restores the full member-pair
+    relation afterward.
 
+    Within-group pairs carry the exact-duplicate metric value and are
+    emitted directly from the membership relation, never through LSH
+    buckets — exact-duplicate recall is structurally 100%. The
+    ENUMERATION is bounded by the same `cap` contract as _bucket_pairs:
+    a group with <= cap members emits all C(n,2) pairs; a group above
+    the cap STAR-pairs through its min-id representative (linear in
+    group size — a 1M-copy boilerplate group emits 10^6 rep pairs, not
+    5*10^11 all-pairs — with connectivity through the rep preserved,
+    which is complete information for an exact-duplicate group).
     Cross-group: each (rep_a, rep_b, metric) row fans out to all member
-    pairs of the two groups, carrying the SAME metric. Within-group:
-    all C(n,2) pairs of every multi-member group with the
-    exact-duplicate metric value — emitted directly from the membership
-    relation, never through LSH buckets, so exact-duplicate recall is
-    structurally 100% and immune to bucket caps. Output size is
-    inherently quadratic in group size (that is the all-pairs
-    CONTRACT); the expansion is narrow (two ids + metric) and
-    output-proportional — no amplified intermediate. All joins here are
-    long-keyed on ids (_tag_representatives confines the wide signature
-    key to its single window shuffle)."""
+    pairs of the two groups for under-cap groups; an over-cap group
+    participates in cross pairs through its representative only (its
+    members reach the rest of the graph via their star edge). Pinned by
+    tests/test_operators.py::test_bucket_cap_star_pairs_hot_bucket.
+    cap=0/None disables the bound (full all-pairs expansion). All joins
+    here are long-keyed on ids (_tag_representatives confines the wide
+    signature key to its single partial-agg'd groupBy shuffle)."""
     metric_type = rep_pairs.schema[metric_col].dataType
-    ma = members.select(
+    multi = members.where(F.col("_n") >= 2)
+    if cap:
+        small = multi.where(F.col("_n") <= cap)
+        hot = multi.where(F.col("_n") > cap)
+    else:
+        small, hot = multi, multi.limit(0)
+    # only multi-member groups need any expansion at all: a singleton
+    # group's representative IS its only member, so its ids pass
+    # through unchanged. Fanning out via LEFT joins against just the
+    # under-cap multi-member rows (instead of inner joins against the
+    # full membership) keeps the build side at |dup-group members| —
+    # tiny on a mostly-unique corpus, where AQE then broadcasts it and
+    # the pair relation never shuffles; on a dup-heavy corpus the join
+    # grows exactly with the inherent output
+    ma = small.select(
         F.col("_rep").alias("id_a"), F.col("id").alias("_ma")
     )
-    mb = members.select(
+    mb = small.select(
         F.col("_rep").alias("id_b"), F.col("id").alias("_mb")
     )
     cross = (
-        rep_pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        rep_pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
-            F.least("_ma", "_mb").alias("id_a"),
-            F.greatest("_ma", "_mb").alias("id_b"),
+            F.least(
+                F.coalesce("_ma", "id_a"), F.coalesce("_mb", "id_b")
+            ).alias("id_a"),
+            F.greatest(
+                F.coalesce("_ma", "id_a"), F.coalesce("_mb", "id_b")
+            ).alias("id_b"),
             F.col(metric_col),
         )
     )
-    # only multi-member groups contribute within-group pairs — on a
-    # mostly-unique corpus this self-join input is near-empty
-    multi = members.where(F.col("_n") >= 2)
     within = (
-        multi.alias("x")
+        small.alias("x")
         .join(
-            multi.alias("y"),
+            small.alias("y"),
             (F.col("x._rep") == F.col("y._rep"))
             & (F.col("x.id") < F.col("y.id")),
         )
@@ -233,7 +277,12 @@ def _expand_member_pairs(
             F.lit(exact_value).cast(metric_type).alias(metric_col),
         )
     )
-    return cross.unionByName(within)
+    star = hot.where(F.col("id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.lit(exact_value).cast(metric_type).alias(metric_col),
+    )
+    return cross.unionByName(within).unionByName(star)
 
 
 def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
@@ -487,7 +536,9 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b", "est_jaccard")
     )
     if distinct_content:
-        out = _expand_member_pairs(members, out, "est_jaccard", 1.0)
+        out = _expand_member_pairs(
+            members, out, "est_jaccard", 1.0, bucket_cap
+        )
     return out
 
 
@@ -589,7 +640,7 @@ def simhash_dedup(
         .select("id_a", "id_b", "hamming")
     )
     if distinct_content:
-        out = _expand_member_pairs(members, out, "hamming", 0)
+        out = _expand_member_pairs(members, out, "hamming", 0, bucket_cap)
     return out
 
 
@@ -741,5 +792,5 @@ def embedding_near_dup(
     )
     out = pairs.select("id_a", "id_b", "cos_sim")
     if distinct_content:
-        out = _expand_member_pairs(members, out, "cos_sim", 1.0)
+        out = _expand_member_pairs(members, out, "cos_sim", 1.0, bucket_cap)
     return out

@@ -82,14 +82,18 @@ class TestBucketCapSemantics:
         assert stats["hot_buckets"] > 0
         assert stats["skipped_pairs"] > 0
 
-    def test_distinct_content_full_exact_recall_under_cap(self, spark):
+    def test_distinct_content_exact_recall_under_cap(self, spark):
         """r6 default path: the same 4-identical-doc corpus under the
-        same hostile bucket_cap=2 now recovers ALL C(4,2)=6 exact pairs
-        at est_jaccard exactly 1.0 — duplicates never enter a bucket
-        (one representative per distinct text does), so exact-dup
-        recall is structurally immune to the cap. (Buckets can still
-        run hot from NEAR-identical distinct texts — the fillers here —
-        which is the cap's actual domain.)"""
+        same hostile bucket_cap=2. DETECTION recall is structurally
+        immune to the cap — duplicates never enter a bucket (one
+        representative per distinct text does), so every dup member
+        surfaces in a pair with its min-id representative at
+        est_jaccard exactly 1.0 regardless of cap. ENUMERATION is
+        cap-bounded by the same contract as _bucket_pairs: the group
+        (n=4 > cap=2) star-pairs, so the redundant (non-rep, non-rep)
+        pairs are not emitted — a 1M-copy boilerplate group emits 10^6
+        star rows, not 5*10^11 all-pairs. With the cap at or above the
+        group size the full C(4,2)=6 enumeration returns."""
         docs = [(i, "the exact same document text repeated verbatim")
                 for i in (10, 11, 12, 13)]
         docs += [(20 + i, f"unique filler document number {i} "
@@ -102,11 +106,24 @@ class TestBucketCapSemantics:
             df, jaccard_threshold=0.9, bucket_cap=2
         ).toPandas()
         got = set(zip(pairs["id_a"], pairs["id_b"]))
+        star = {(10, 11), (10, 12), (10, 13)}
+        assert star <= got
+        assert (
+            pairs.set_index(["id_a", "id_b"])  # every star pair exact
+            .loc[list(star), "est_jaccard"] == 1.0
+        ).all()
+        # over-cap group: redundant non-rep pairs are NOT enumerated
         allp = {(a, b) for a in (10, 11, 12, 13)
                 for b in (10, 11, 12, 13) if a < b}
-        assert allp <= got
+        assert not (allp - star) & got
+        # cap >= group size: full all-pairs enumeration
+        full = dedup.minhash_lsh_dedup(
+            df, jaccard_threshold=0.9, bucket_cap=4
+        ).toPandas()
+        fgot = set(zip(full["id_a"], full["id_b"]))
+        assert allp <= fgot
         assert (
-            pairs.set_index(["id_a", "id_b"])  # every dup pair exact
+            full.set_index(["id_a", "id_b"])
             .loc[list(allp), "est_jaccard"] == 1.0
         ).all()
         dedup.release_cached()
