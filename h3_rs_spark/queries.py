@@ -515,17 +515,35 @@ def q15_simhash_pairs(spark, sf_dir):
     """SimHash near-dup, same cross-engine relation oracle as q14:
     identical docs have identical simhash, so every recovered exact
     pair must carry hamming distance exactly 0 — returned per-row and
-    pinned by the oracle; band/threshold laws raise engine-side."""
+    pinned by the oracle; band/threshold laws raise engine-side.
+
+    Scale note (round-6 sf10 profiling): unlike q14, the hamming<=16
+    relation is GENUINELY enormous on the dup-injected corpus —
+    1,270,452,211 pairs at sf10 vs q14's 27.3M (46x), because simhash
+    is locality-sensitive over the shared synthetic vocabulary, so
+    cross-group rep pairs land within radius 16 densely and each one
+    member-expands 100x100. The laws below therefore run as a single
+    partial-aggregating pass over the UNPERSISTED full relation (the
+    1.27e9 rows are produced pipelined and consumed by the agg — never
+    cached, never shuffled whole), and the exact-pair join reads a
+    hamming==0 pre-filter: exact duplicates have identical text hence
+    identical simhash hence hamming exactly 0, so hamming>0 rows can
+    never survive the join — the filter is provably output-identical
+    and Catalyst pushes it below the member-expansion joins (the
+    metric is inherited from the pre-expansion rep pair), cutting the
+    join input from 1.27e9 rows to ~24.9M. Measured at sf10:
+    253 s -> see BENCH/BASELINE.md round 6."""
     corpus = _dup_injected_docs(spark, sf_dir)
-    pairs = dedup.simhash_dedup(corpus, max_hamming=16).persist()
+    pairs = dedup.simhash_dedup(corpus, max_hamming=16)
     _assert_pair_laws(pairs, "hamming", lambda mn, mx: mn >= 0 and mx <= 16)
+    zero = pairs.where(F.col("hamming") == 0).persist()
     exact = _exact_pairs(corpus)
     out = (
-        exact.join(pairs, ["id_a", "id_b"])
+        exact.join(zero, ["id_a", "id_b"])
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .localCheckpoint(eager=True)
     )
-    pairs.unpersist()
+    zero.unpersist()
     dedup.release_cached()
     return out
 
