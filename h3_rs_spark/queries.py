@@ -2548,6 +2548,68 @@ FROM documents
 """
 
 
+def q51_cc_keep_list(spark, sf_dir):
+    """Connected-components keep-list — the dedup DECISION layer (r6):
+    the pair operators (q14/q15/q17) enumerate near-dup edges; a
+    training pipeline then needs one surviving row per component. The
+    operator is min-label propagation with per-round pointer jumping
+    (operators/dedup.py connected_components, O(log diameter) rounds,
+    two long-keyed shuffles per round, per-round localCheckpoint).
+
+    The edge FIXTURE is deliberately adversarial: a CHAIN through each
+    exact-content group (consecutive ids via lead() over the md5
+    partition), NOT the cliques the pair operators emit — components
+    are then recoverable only by genuinely propagating labels across
+    multi-hop paths (diameter = group size - 1; ~100 at the sf10
+    campaign scale), so a broken propagation (e.g. a single
+    neighbor-min pass) returns wrong components and the oracle, which
+    recomputes component = MIN(doc_id) per content group in plain SQL,
+    hash-mismatches. An engine-side law additionally pins the log
+    bound: rounds <= ceil(log2(max chain hops)) + 2, so losing the
+    pointer-jump term (silently degrading to O(diameter) rounds)
+    RAISES at any sf with a group of >= 5 members rather than just
+    running slow."""
+    import math
+
+    corpus = _dup_injected_docs(spark, sf_dir)
+    hs = corpus.select("doc_id", F.md5("text").alias("h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    edges = (
+        hs.withColumn("_nxt", F.lead("doc_id").over(w))
+        .where(F.col("_nxt").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("_nxt").alias("id_b"))
+    )
+    comp = dedup.connected_components(
+        edges, corpus.select("doc_id")
+    ).localCheckpoint(eager=True)
+    st = dedup.last_cc_stats()
+    max_hops = (
+        int(hs.groupBy("h").count().agg(F.max("count")).first()[0] or 1) - 1
+    )
+    bound = math.ceil(math.log2(max(max_hops, 1))) + 2
+    if not st.get("converged") or st.get("rounds", 1 << 30) > bound:
+        raise AssertionError(
+            f"cc convergence law violated: {st} vs log-bound {bound} "
+            f"(max chain hops {max_hops})"
+        )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).cast("long").alias("keep"),
+    )
+
+
+Q51_SQL = f"""
+WITH {_DUP_CORPUS_SQL}
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY h) AS component,
+       CAST(doc_id = MIN(doc_id) OVER (PARTITION BY h) AS BIGINT) AS keep
+FROM hs
+"""
+
+
 def catalog():
     """name -> (callable, oracle_sql | None)."""
     return {
@@ -2607,4 +2669,5 @@ def catalog():
             q50_stream_dedup_parquet_sink,
             Q50_SQL,
         ),
+        "q51_cc_keep_list": (q51_cc_keep_list, Q51_SQL),
     }

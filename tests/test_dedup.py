@@ -421,3 +421,98 @@ class TestStreamDedupRocksDB:
                 spark.conf.set(key, prev)
         assert len(got) == 500
         assert (got["dup_count"] == 2).all()
+
+
+class TestConnectedComponents:
+    """connected_components: the dedup decision layer (round 6). The
+    algorithmic contract is min-label propagation WITH pointer jumping
+    — convergence must be logarithmic in the graph diameter, asserted
+    via last_cc_stats, not just eventual."""
+
+    def test_chain_log_rounds(self, spark):
+        """A 64-node path (diameter 63) must resolve to one component
+        in <= log2(63)+2 = 8 rounds — losing the pointer-jump term
+        would take ~63 and fail this bound."""
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        out = dedup.connected_components(e).collect()
+        assert {r["component"] for r in out} == {0}
+        assert len(out) == 64
+        st = dedup.last_cc_stats()
+        assert st["converged"] and st["rounds"] <= 8, st
+
+    def test_random_graph_vs_union_find(self, spark):
+        """300 nodes, 260 random edges (many small components), checked
+        against a driver-side union-find ground truth."""
+        rng = np.random.default_rng(42)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 300, size=(260, 2))
+            if a != b
+        ]
+        parent = list(range(300))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        truth = {}
+        for v in range(300):
+            truth.setdefault(find(v), []).append(v)
+        expect = {v: min(m) for m in truth.values() for v in m}
+
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        n = spark.createDataFrame([(i,) for i in range(300)], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(e, n).collect()
+        }
+        assert got == expect
+
+    def test_singletons_and_empty_edges(self, spark):
+        e = spark.createDataFrame([], "id_a long, id_b long")
+        n = spark.createDataFrame([(7,), (9,)], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(e, n).collect()
+        }
+        assert got == {7: 7, 9: 9}
+
+    def test_nonconvergence_raises(self, spark):
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(e, max_rounds=1)
+        assert dedup.last_cc_stats()["converged"] is False
+
+    def test_extra_edge_columns_and_unlisted_endpoints(self, spark):
+        """Pair-relation shape (id_a, id_b, metric) works as-is, and
+        endpoints missing from `nodes` are unioned in."""
+        e = spark.createDataFrame(
+            [(1, 2, 0.9), (2, 3, 0.8)], "id_a long, id_b long, sim double"
+        )
+        n = spark.createDataFrame([(1,), (4,)], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(e, n).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+    def test_keep_list_over_minhash_pairs(self, spark):
+        """End-to-end: minhash pair relation -> keep list keeps exactly
+        one min-id row per duplicate group and every unique row."""
+        rows = [(i, f"unique text number {i} " * 5) for i in range(10)]
+        rows += [(100 + i, "duplicated boilerplate " * 8) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.minhash_lsh_dedup(df, jaccard_threshold=0.9)
+        out = dedup.near_dup_keep_list(df, pairs)
+        kept = sorted(r["doc_id"] for r in out.where("keep = 1").collect())
+        assert kept == list(range(10)) + [100]
+        assert out.count() == 14
+        dedup.release_cached()
