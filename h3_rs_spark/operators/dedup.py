@@ -25,6 +25,8 @@ shuffle spill) cost LSH work proportional to distinct content only.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -122,6 +124,7 @@ def last_bucket_stats() -> dict:
 
 
 _PERSISTED_INTERMEDIATES: list = []
+_PERSIST_LOCK = threading.Lock()
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
@@ -133,7 +136,8 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     long-lived session (bench loops re-running q14/q15/q17) calls
     release_cached() after materializing and would otherwise accumulate
     executor storage until a manual clearCache (ADVICE r5)."""
-    _PERSISTED_INTERMEDIATES.append(df.persist())
+    with _PERSIST_LOCK:
+        _PERSISTED_INTERMEDIATES.append(df.persist())
     return df
 
 
@@ -141,15 +145,24 @@ def release_cached() -> int:
     """Unpersist every intermediate relation persisted by *_dedup calls
     since the last release. Call AFTER the returned pairs are
     materialized (localCheckpoint or collected) — the pair plan reads
-    these caches. Returns the number of relations released."""
+    these caches. Returns the number of relations released.
+
+    CONTRACT: the registry is module-global, so releasing is a
+    build-materialize-release SEQUENCE per pipeline — releasing while a
+    second pipeline is built-but-unmaterialized drops that pipeline's
+    caches too and its later action recomputes them (correct, just
+    slow: the caches are pure). Interleaved pipelines should
+    materialize (localCheckpoint) before the other's release, which is
+    how every gate/bench caller sequences it."""
     n = 0
-    while _PERSISTED_INTERMEDIATES:
-        df = _PERSISTED_INTERMEDIATES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
+    with _PERSIST_LOCK:
+        while _PERSISTED_INTERMEDIATES:
+            df = _PERSISTED_INTERMEDIATES.pop()
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
     return n
 
 
@@ -167,17 +180,22 @@ def _tag_representatives(rel: DataFrame, key_col: str):
     the duplicate-heavy corpora this path exists for, that is the
     difference between shuffling distinct content and shuffling the
     corpus), and the persisted relation is one row per distinct
-    signature, not a corpus-sized tagged copy. Member ids ride along as
-    a collect_list — bounded by the largest duplicate group, which the
-    all-pairs OUTPUT contract already bounds far harder (a D-member
-    group emits C(D,2) pairs; any D large enough to stress one task's
-    list is a D whose pair output is infeasible first)."""
+    signature, not a corpus-sized tagged copy.
+
+    Membership is recovered by joining rel BACK against the multi-member
+    reps on the signature key, not by a collect_list in the groupBy
+    (round-6 review): star-pairing makes the pair OUTPUT linear in
+    group size, so a 10^8-copy boilerplate group is a feasible corpus —
+    but its collect_list would be one 10^8-element aggregation-buffer
+    row on one task (OOM), while the join-back shuffle is row-bounded
+    and spills. The join carries the wide key once per ROW instead of
+    once per distinct-per-mapper; that is the memory-safety trade, and
+    rel is the caller's persisted signature cache so no recompute."""
     agg = _persist_tracked(
         rel.groupBy(key_col)
         .agg(
             F.min("id").alias("_rep"),
             F.count("*").alias("_n"),
-            F.collect_list("id").alias("_ids"),
         )
         # the groupBy emits shuffle.partitions output splits (2x cores
         # here); every downstream stage over the cache would inherit
@@ -187,8 +205,8 @@ def _tag_representatives(rel: DataFrame, key_col: str):
     )
     agg.count()  # eager: rep_rel and members both read this cache —
     # lazy, AQE's parallel query stages would race and recompute it
-    members = agg.where(F.col("_n") >= 2).select(
-        "_rep", "_n", F.explode("_ids").alias("id")
+    members = rel.join(agg.where(F.col("_n") >= 2), key_col).select(
+        "_rep", "_n", "id"
     )
     rep_rel = agg.select(F.col("_rep").alias("id"), key_col)
     return members, rep_rel
@@ -231,7 +249,9 @@ def _expand_member_pairs(
     here are long-keyed on ids (_tag_representatives confines the wide
     signature key to its single partial-agg'd groupBy shuffle)."""
     metric_type = rep_pairs.schema[metric_col].dataType
-    multi = members.where(F.col("_n") >= 2)
+    # members is multi-member rows only by _tag_representatives'
+    # construction (the join-back filters _n >= 2)
+    multi = members
     if cap:
         small = multi.where(F.col("_n") <= cap)
         hot = multi.where(F.col("_n") > cap)
@@ -501,8 +521,9 @@ def minhash_lsh_dedup(
         # distinct signature and expanding afterward reproduces the
         # legacy output bit-for-bit (identical-sig pairs score est 1.0
         # on both paths). Signatures still compute for every row
-        # (linear, Arrow-fast); the collapse costs one window shuffle
-        # over the cached sig relation.
+        # (linear, Arrow-fast); the collapse costs one partial-agg'd
+        # groupBy plus a membership join-back over the cached sig
+        # relation (_tag_representatives).
         members, sig = _tag_representatives(sig, "sig")
     band_cols = [
         F.struct(
@@ -723,7 +744,17 @@ def embedding_near_dup(
     distinct vector (grouped on the exact array — at extreme scale
     substitute a 128-bit content digest) and member pairs expand with
     cos_sim 1.0 within groups; see minhash_lsh_dedup. The auto plane
-    sizing then counts DISTINCT vectors, the correct occupancy basis."""
+    sizing then counts DISTINCT vectors, the correct occupancy basis.
+    Equivalence to the legacy path is after the 6-decimal rounding both
+    paths apply, with ONE deliberate divergence (round-6 review):
+    bit-identical ALL-ZERO vectors. Legacy computes cos via try_divide
+    -> NULL -> drops the pair (before round 6 a plain `/` CRASHED the
+    whole query under Spark 4's default ANSI mode whenever a zero-norm
+    vector hit any candidate pair); the collapse emits it at cos_sim
+    1.0, because two byte-identical embeddings ARE exact duplicates
+    regardless of their norm — the dedup answer, not the cosine edge
+    case. Pinned by
+    tests/test_dedup.py::test_zero_vector_pairs_divergence."""
     # cache the (id, vector) projection FIRST, then derive the corpus
     # count for auto plane sizing from the cache — sizing must not cost
     # a second full scan of a possibly-expensive input plan (r5 review)
@@ -786,7 +817,18 @@ def embedding_near_dup(
         .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
         .withColumn(
             "cos_sim",
-            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6),
+            # try_divide, not `/`: a zero-NORM vector (padding rows,
+            # failed encoders — routine in scraped corpora) in ANY
+            # candidate pair is a 0 divisor, which under Spark 4's
+            # default ANSI mode would crash the whole query with
+            # DIVIDE_BY_ZERO (found by the round-6 zero-vector test).
+            # NULL cosine fails the threshold filter and the pair is
+            # dropped — identical zero vectors still pair at 1.0
+            # through the distinct-content within-group path, which
+            # never divides.
+            F.round(
+                F.try_divide(dot, norm(F.col("va")) * norm(F.col("vb"))), 6
+            ),
         )
         .where(F.col("cos_sim") >= cos_threshold)
     )
@@ -849,9 +891,14 @@ def connected_components(
     """
     global _LAST_CC_STATS
     ea, eb = edges.columns[0], edges.columns[1]
+    # materialize the edge projection ONCE: sym/ids feed an action every
+    # round, and without this cut the caller's full edge plan (often an
+    # entire LSH pair pipeline) would re-execute per round — the
+    # per-round cost contract above only holds against a materialized
+    # edge list (round-6 review finding)
     pair = edges.select(
         F.col(ea).alias("src"), F.col(eb).alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     sym = pair.unionByName(
         pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -121,12 +121,19 @@ class StageRunner:
         # logical fingerprint) is an ordinary `ran`; a manifest whose
         # logical part still matches but whose inputs digest moved means
         # the physical upstream changed behind the caller's back —
-        # surfaced distinctly as `stale_rerun`
-        status = (
-            "stale_rerun"
-            if manifest is not None and manifest.get("logical") == fingerprint
-            else "ran"
-        )
+        # surfaced distinctly as `stale_rerun`; a manifest that still
+        # matches the FULL effective fingerprint (inputs unchanged) can
+        # only reach here because the materialization itself was lost
+        # (_SUCCESS/output dir deleted or truncated) — that is
+        # `damaged_rerun`, not staleness: an operator diagnosing a rerun
+        # storm must be pointed at output-dir damage, not upstream
+        # mutation (round-6 review)
+        if manifest is not None and manifest.get("fingerprint") == eff:
+            status = "damaged_rerun"
+        elif manifest is not None and manifest.get("logical") == fingerprint:
+            status = "stale_rerun"
+        else:
+            status = "ran"
 
         t0 = time.time()
         df = fn()

@@ -130,10 +130,17 @@ def run_dedup_to_path(
     (content_hash, keep_id, dup_count) DataFrame read from out_path."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_path)
+        # IDEMPOTENT sink (round-6 review): each micro-batch OVERWRITES
+        # its own hive-partition directory, so a foreachBatch retry of
+        # the same batch_id (task failure, restart between a partial
+        # append and the checkpoint commit — routine at scale) replaces
+        # the partial output instead of duplicating rows. A blind
+        # mode("append") to the root would survive the final min/max
+        # aggregation but break any exactly-once consumer (q50 pins
+        # per-hash emission counts). Readers get batch_id back as the
+        # discovered partition column.
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
         )
 
     q = (

@@ -516,3 +516,29 @@ class TestConnectedComponents:
         assert kept == list(range(10)) + [100]
         assert out.count() == 14
         dedup.release_cached()
+
+
+class TestEmbeddingZeroVectors:
+    def test_zero_vector_pairs_divergence(self, spark):
+        """Documented divergence (round-6 review): bit-identical
+        all-zero embeddings pair at cos_sim 1.0 under the default
+        distinct-content collapse (they ARE exact duplicates), while
+        the legacy path's 0/0 cosine is NaN/NULL and drops the pair."""
+        rows = [(1, [0.0] * 8), (2, [0.0] * 8), (3, [1.0] + [0.0] * 7)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in dedup.embedding_near_dup(df, dim=8).collect()
+        }
+        dedup.release_cached()
+        assert (1, 2, 1.0) in out
+        legacy = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup(
+                df, dim=8, distinct_content=False
+            ).collect()
+        }
+        dedup.release_cached()
+        assert (1, 2) not in legacy

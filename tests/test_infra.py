@@ -113,6 +113,28 @@ class TestStageRunner:
             ("s", "ran"),  # deliberate change is NOT "stale"
         ]
 
+    def test_damaged_output_rerun_status(self, spark, tmp_path):
+        """Round-6 review: a lost materialization (valid manifest, valid
+        inputs, _SUCCESS deleted) must re-run as `damaged_rerun`, NOT
+        `stale_rerun` — the diagnosis is output-dir damage, not
+        upstream mutation."""
+        import os
+
+        src = str(tmp_path / "src")
+        spark.range(20).write.mode("overwrite").parquet(src)
+        r = StageRunner(spark, str(tmp_path / "wh"), run_id="t3")
+        calls = []
+
+        def make():
+            calls.append(1)
+            return spark.read.parquet(src)
+
+        r.stage("s", "fp", make, inputs=[src])
+        os.remove(str(tmp_path / "wh" / "s" / "_SUCCESS"))
+        out = r.stage("s", "fp", make, inputs=[src])
+        assert out.count() == 20 and calls == [1, 1]
+        assert r.history() == [("s", "ran"), ("s", "damaged_rerun")]
+
     def test_input_fingerprint_metadata_only(self, tmp_path):
         from h3_rs_spark.plans.stages import input_fingerprint
 
