@@ -961,10 +961,19 @@ def near_dup_keep_list(
     emit: df plus (component, keep) where keep=1 marks the one row per
     connected near-dup component that survives (the min id — matching
     exact_dedup's keep_id = MIN convention). Rows in no pair keep
-    themselves."""
+    themselves.
+
+    keep is the component minimum WITHIN df, not the component label
+    itself (round-6 review): if df is a subset of the corpus the pairs
+    were computed over (rows filtered between dedup and decision), a
+    component whose min-id row is absent still keeps exactly one
+    surviving row instead of vanishing entirely. When df covers every
+    endpoint the two definitions coincide."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, df.select(id_col))
-    return df.join(
-        comp.withColumnRenamed("id", id_col), id_col
-    ).withColumn(
-        "keep", (F.col(id_col) == F.col("component")).cast("long")
+    joined = df.join(comp.withColumnRenamed("id", id_col), id_col)
+    w = Window.partitionBy("component")
+    return joined.withColumn(
+        "keep", (F.col(id_col) == F.min(id_col).over(w)).cast("long")
     )

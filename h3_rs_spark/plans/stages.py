@@ -68,6 +68,26 @@ def input_fingerprint(*paths: str) -> str:
     ).hexdigest()[:16]
 
 
+def _output_digest(path: str) -> str:
+    """Integrity digest of a stage's materialized output: sorted
+    (relpath, size) of non-hidden files. Name+size only — mtimes are
+    excluded so a faithful copy/restore of the warehouse still resumes
+    — which catches the damage _SUCCESS alone cannot: a part file
+    deleted or truncated while _SUCCESS and the manifest survive
+    (round-6 review). Metadata-only, no data read."""
+    entries = []
+    for dirpath, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.startswith("."):
+                continue
+            fp = os.path.join(dirpath, fname)
+            entries.append((os.path.relpath(fp, path), os.stat(fp).st_size))
+    entries.sort()
+    return hashlib.sha256(
+        json.dumps(entries, separators=(",", ":")).encode()
+    ).hexdigest()[:16]
+
+
 @dataclass
 class StageRunner:
     spark: SparkSession
@@ -109,11 +129,18 @@ class StageRunner:
         if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 manifest = json.load(fh)
-            # resume needs BOTH a matching fingerprint and an intact
-            # materialization — a surviving manifest over a deleted or
-            # truncated output dir must re-run, not read partial data
-            if manifest.get("fingerprint") == eff and os.path.exists(
-                os.path.join(out_path, "_SUCCESS")
+            # resume needs a matching fingerprint AND an intact
+            # materialization: _SUCCESS present and the output-file
+            # inventory (names+sizes) unchanged since the write — a
+            # part file lost or truncated under a surviving _SUCCESS
+            # must re-run, not silently resume partial data. Manifests
+            # written before the output digest existed (no "output"
+            # key) keep the _SUCCESS-only check.
+            if (
+                manifest.get("fingerprint") == eff
+                and os.path.exists(os.path.join(out_path, "_SUCCESS"))
+                and manifest.get("output")
+                in (None, _output_digest(out_path))
             ):
                 self._ran.append((name, "resumed"))
                 return self.spark.read.parquet(out_path)
@@ -172,6 +199,7 @@ class StageRunner:
                 {
                     "fingerprint": eff,
                     "logical": fingerprint,
+                    "output": _output_digest(out_path),
                     "wall_s": wall_s,
                     "stage": name,
                 },

@@ -536,14 +536,16 @@ def q15_simhash_pairs(spark, sf_dir):
     corpus = _dup_injected_docs(spark, sf_dir)
     pairs = dedup.simhash_dedup(corpus, max_hamming=16)
     _assert_pair_laws(pairs, "hamming", lambda mn, mx: mn >= 0 and mx <= 16)
-    zero = pairs.where(F.col("hamming") == 0).persist()
+    # no persist on the filtered relation: it feeds exactly ONE action
+    # (the join + checkpoint below), so caching it would be pure
+    # storage churn (round-6 review)
+    zero = pairs.where(F.col("hamming") == 0)
     exact = _exact_pairs(corpus)
     out = (
         exact.join(zero, ["id_a", "id_b"])
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .localCheckpoint(eager=True)
     )
-    zero.unpersist()
     dedup.release_cached()
     return out
 
@@ -2572,7 +2574,10 @@ def q51_cc_keep_list(spark, sf_dir):
     import math
 
     corpus = _dup_injected_docs(spark, sf_dir)
-    hs = corpus.select("doc_id", F.md5("text").alias("h"))
+    # persist hs: it feeds the edge chain AND the max-hops law below —
+    # without the cache the dup-injected union re-scans and re-hashes
+    # the corpus twice (round-6 review)
+    hs = corpus.select("doc_id", F.md5("text").alias("h")).persist()
     from pyspark.sql import Window
 
     w = Window.partitionBy("h").orderBy("doc_id")
@@ -2581,13 +2586,14 @@ def q51_cc_keep_list(spark, sf_dir):
         .where(F.col("_nxt").isNotNull())
         .select(F.col("doc_id").alias("id_a"), F.col("_nxt").alias("id_b"))
     )
-    comp = dedup.connected_components(
-        edges, corpus.select("doc_id")
-    ).localCheckpoint(eager=True)
+    # no extra checkpoint on the result: connected_components returns a
+    # narrow projection over its own final per-round localCheckpoint
+    comp = dedup.connected_components(edges, corpus.select("doc_id"))
     st = dedup.last_cc_stats()
     max_hops = (
         int(hs.groupBy("h").count().agg(F.max("count")).first()[0] or 1) - 1
     )
+    hs.unpersist()
     bound = math.ceil(math.log2(max(max_hops, 1))) + 2
     if not st.get("converged") or st.get("rounds", 1 << 30) > bound:
         raise AssertionError(

@@ -517,6 +517,22 @@ class TestConnectedComponents:
         assert out.count() == 14
         dedup.release_cached()
 
+    def test_keep_list_subset_df_still_keeps_one_per_component(self, spark):
+        """Round-6 review: when df is a SUBSET of the corpus the pairs
+        came from (the component's min id filtered out between dedup
+        and decision), the surviving min-within-df row keeps itself
+        instead of the whole group vanishing."""
+        docs = spark.createDataFrame(
+            [(2, "b"), (3, "c"), (9, "z")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )  # component min (1) is NOT in docs
+        out = dedup.near_dup_keep_list(docs, pairs).orderBy("doc_id").collect()
+        assert [(r["doc_id"], r["keep"]) for r in out] == [
+            (2, 1), (3, 0), (9, 1),
+        ]
+
 
 class TestEmbeddingZeroVectors:
     def test_zero_vector_pairs_divergence(self, spark):

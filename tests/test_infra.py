@@ -135,6 +135,36 @@ class TestStageRunner:
         assert out.count() == 20 and calls == [1, 1]
         assert r.history() == [("s", "ran"), ("s", "damaged_rerun")]
 
+    def test_lost_part_file_rerun_despite_success_marker(
+        self, spark, tmp_path
+    ):
+        """Round-6 review: a part file lost while _SUCCESS and the
+        manifest SURVIVE must not resume partial data — the manifest's
+        output digest (names+sizes) catches what _SUCCESS cannot."""
+        import glob
+        import os
+
+        src = str(tmp_path / "src")
+        spark.range(30).repartition(2).write.mode("overwrite").parquet(src)
+        r = StageRunner(spark, str(tmp_path / "wh"), run_id="t4")
+        calls = []
+
+        def make():
+            calls.append(1)
+            return spark.read.parquet(src)
+
+        r.stage("s", "fp", make, inputs=[src])
+        parts = glob.glob(str(tmp_path / "wh" / "s" / "part-*.parquet"))
+        assert len(parts) >= 2
+        os.remove(parts[0])  # _SUCCESS and manifest stay intact
+        out = r.stage("s", "fp", make, inputs=[src])
+        assert out.count() == 30 and calls == [1, 1]
+        assert r.history()[-1] == ("s", "damaged_rerun")
+        # untouched output still resumes
+        r.stage("s", "fp", make, inputs=[src])
+        assert calls == [1, 1]
+        assert r.history()[-1] == ("s", "resumed")
+
     def test_input_fingerprint_metadata_only(self, tmp_path):
         from h3_rs_spark.plans.stages import input_fingerprint
 
