@@ -164,6 +164,19 @@ class TestStageRunner:
         r.stage("s", "fp", make, inputs=[src])
         assert calls == [1, 1]
         assert r.history()[-1] == ("s", "resumed")
+        # backward compat: a pre-digest manifest (no "output" key, e.g.
+        # written by an older engine) still resumes on _SUCCESS alone
+        import json as _json
+
+        mpath = str(tmp_path / "wh" / "s.manifest.json")
+        with open(mpath) as fh:
+            m = _json.load(fh)
+        del m["output"]
+        with open(mpath, "w") as fh:
+            _json.dump(m, fh)
+        r.stage("s", "fp", make, inputs=[src])
+        assert calls == [1, 1]
+        assert r.history()[-1] == ("s", "resumed")
 
     def test_input_fingerprint_metadata_only(self, tmp_path):
         from h3_rs_spark.plans.stages import input_fingerprint
