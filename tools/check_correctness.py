@@ -32,7 +32,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             except Exception:
                 pass
         if np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
+            # 12 significant digits BEFORE the absolute 6-decimal round:
+            # a double SUM over 1e8+ rows differs between engines by
+            # summation order alone (measured at sf100: q01 group sums
+            # of magnitude 5.3e12 drifting at the 1e-1 level, relative
+            # error 3e-14) — absolute rounding can't absorb relative
+            # drift at 1e12 magnitudes. Values below 1e6 carry <= 12
+            # significant digits after round(6) anyway, so gate-scale
+            # behavior is unchanged.
+            df[c] = df[c].map(
+                lambda x: float(f"{x:.12g}") if pd.notna(x) else x
+            ).round(6)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
