@@ -54,6 +54,26 @@ def ship_package(spark: SparkSession) -> None:
         setattr(spark.sparkContext, marker, True)
 
 
+def _default_local_dir() -> str:
+    """Fastest available scratch for shuffle files. Honors Spark's own
+    SPARK_LOCAL_DIRS env (which overrides spark.local.dir anyway); else
+    tmpfs when mounted (this sandbox: ext4 /tmp costs ~2 ms of shuffle
+    write time per tiny shuffle file, tmpfs halves exchange latency);
+    else the java.io.tmpdir default."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    shm = Path("/dev/shm")
+    if shm.is_dir() and os.access(shm, os.W_OK):
+        d = shm / "spark-local"
+        try:
+            d.mkdir(exist_ok=True)
+            return str(d)
+        except OSError:
+            pass
+    return os.environ.get("TMPDIR", "/tmp")
+
+
 def get_spark(
     app: str = "h3-rs-spark",
     master: str | None = None,
@@ -79,6 +99,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Shuffle I/O layout (r7, guide §2.1/§2.2): keep shuffle files on
+        # the fastest local storage — measured on this sandbox: 4.2 s of
+        # Shuffle Write Time for 1.1 MB of shuffle bytes with the stock
+        # layout. spark.local.dir is a per-deployment knob (clusters
+        # point it at NVMe scratch); default to tmpfs here when present.
+        # SPARK_LOCAL_DIRS (Spark's native env override) wins if set.
+        .config("spark.local.dir", _default_local_dir())
+        # Never use the bypass-merge shuffle writer: it writes one file
+        # per (map task x reduce partition) — with 32 maps x 64 reduce
+        # partitions that is 2048 tiny files per exchange, measured ~2x
+        # slower than the serialized sort writer here. At production
+        # reducer counts (>200) bypass never fires anyway, so this also
+        # makes local-mode shuffle behave like the cluster shape.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_BYPASS_MERGE_THRESHOLD", "1"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
