@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.native import h3_base_cell, h3_resolution, h3_to_parent_col
-from ..functions.udfs import h3_to_children_udf
 from ..h3core.constants import PENTAGON_BASE_CELLS
 
 _PENT_BCS = [int(b) for b in PENTAGON_BASE_CELLS]
@@ -44,44 +43,87 @@ def _is_pentagon_col(cell):
     return h3_base_cell(cell).isin(_PENT_BCS) & (cell == center_pattern)
 
 
+# descendants of one cell, `d` levels down: hexagons fan out 7^d; a
+# pentagon has 6 children (1 pentagon + 5 hexagons), so
+# N_pent(d) = N_pent(d-1) + 5 * 7^(d-1)
+_HEX_DESC = [7 ** d for d in range(16)]
+_PENT_DESC = [1]
+for _d in range(1, 16):
+    _PENT_DESC.append(_PENT_DESC[-1] + 5 * 7 ** (_d - 1))
+
+
 def compact_cells_df(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
     """Minimal multi-res covering set of a uniform-res cell relation.
 
     Returns a DataFrame with the same cell_col holding the compacted
     (mixed-res) set. Input must be distinct cells of one resolution.
-    """
-    spark = cells.sparkSession
+
+    Single-pass form (r7, guide §2.4 — replaces the r6 finest-to-
+    coarsest round loop, which ran 2 sequential jobs per resolution
+    level): because the input is uniform-res, an ancestor A at res p
+    is in the transitive-promotion closure iff ALL of its res-r leaf
+    descendants are present, i.e. iff count(leaves under A) equals A's
+    full descendant count (pentagon-aware _PENT_DESC/_HEX_DESC).
+    Completeness is monotone down the tree (a complete ancestor's
+    sub-ancestors are complete), so the compact output is exactly:
+      - complete ancestors whose own parent is not complete, plus
+      - leaves whose res-(r-1) parent is not complete.
+    One ancestors-explode + partial-agg'd groupBy (shuffle bounded by
+    DISTINCT ancestors — map-side combine collapses the r-way explode
+    of spatially clustered cells to ~n/6 rows), one checkpoint of the
+    complete set (<= n/6 rows), two anti-joins. A constant number of
+    shuffles instead of O(res) sequential rounds; output pinned by the
+    reference's own 1253 -> 209 golden (q36) and
+    tests/test_operators.py round-trip/idempotence tests."""
     res = cells.select(F.max(h3_resolution(cell_col))).first()[0]
     if res is None:
         return cells
-    result = None
-    cur = cells.select(cell_col).distinct()
-    for r in range(int(res), 0, -1):
-        # localCheckpoint: each round's isEmpty probe (and the final
-        # result evaluation) would otherwise re-run the ENTIRE chain of
-        # prior rounds — quadratic job work. The checkpointed relation
-        # is the per-round parent set, which shrinks ~7x per round, so
-        # materializing it is exactly the shrinking-shuffle design the
-        # docstring promises; it also lets `parented` feed both the
-        # family count and the anti-join without recomputation.
-        parented = cur.withColumn(
-            "_parent", h3_to_parent_col(cell_col, r - 1)
-        ).localCheckpoint(eager=True)
-        fam = parented.groupBy("_parent").agg(F.count("*").alias("_n"))
-        full_n = F.when(_is_pentagon_col(F.col("_parent")), 6).otherwise(7)
-        promoted = fam.where(F.col("_n") == full_n).select("_parent")
-        kept = (
-            parented.join(promoted, "_parent", "left_anti")
-            .select(cell_col)
+    res = int(res)
+    distinct = cells.select(cell_col).distinct()
+    if res == 0:
+        return distinct
+    anc = distinct.select(F.explode(ancestors_col(cell_col)).alias("_anc"))
+    counts = anc.groupBy("_anc").agg(F.count("*").alias("_n"))
+    depth = (F.lit(res) - h3_resolution(F.col("_anc")) + F.lit(1)).cast("int")
+    expected = F.when(
+        _is_pentagon_col(F.col("_anc")),
+        F.element_at(F.array(*[F.lit(v) for v in _PENT_DESC]), depth),
+    ).otherwise(F.element_at(F.array(*[F.lit(v) for v in _HEX_DESC]), depth))
+    # lazy checkpoint: `complete` feeds two anti-joins below; the
+    # checkpoint guarantees the explode+groupBy runs once per
+    # materialization instead of once per join branch, and eager=False
+    # folds that materialization into the caller's first action (one
+    # fewer driver round-trip; a concurrent-AQE-stage race could at
+    # worst compute it twice, which is waste, not wrongness)
+    complete = (
+        counts.where(F.col("_n") == expected)
+        .select(F.col("_anc").alias(cell_col))
+        .localCheckpoint(eager=False)
+    )
+    # a complete ancestor survives iff its own parent is not complete
+    # (res-0 ancestors have no parent -> null key never anti-matches)
+    anc_res = h3_resolution(cell_col)
+    anc_parent = F.when(
+        anc_res > 0,
+        F.element_at(ancestors_col(cell_col), anc_res.cast("int")),
+    )
+    kept_anc = (
+        complete.withColumn("_pk", anc_parent)
+        .join(
+            complete.select(F.col(cell_col).alias("_pk")), "_pk", "left_anti"
         )
-        result = kept if result is None else result.unionByName(kept)
-        cur = promoted.select(F.col("_parent").alias(cell_col))
-        if cur.isEmpty():
-            break
-    else:
-        result = result.unionByName(cur) if result is not None else cur
-        return result
-    return result if result is not None else spark.createDataFrame([], cells.schema)
+        .select(cell_col)
+    )
+    # a leaf survives iff its immediate parent is not complete (monotone
+    # completeness: no coarser ancestor can be complete either)
+    kept_leaves = (
+        distinct.withColumn("_pk", h3_to_parent_col(cell_col, res - 1))
+        .join(
+            complete.select(F.col(cell_col).alias("_pk")), "_pk", "left_anti"
+        )
+        .select(cell_col)
+    )
+    return kept_leaves.unionByName(kept_anc)
 
 
 def ancestors_col(cell_col: str = "cell"):
@@ -121,7 +163,28 @@ def antichain_violations(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
     ).select(F.col("_child").alias(cell_col), F.col(cell_col).alias("ancestor"))
 
 
-_MAX_EXPLODE_LEVELS = 4  # 7^4 = 2401 children per row per stage
+_MAX_EXPLODE_LEVELS = 4  # resolution levels between redistributions
+
+
+def children_one_level_col(cell_col):
+    """array<long> of a cell's DIRECT children (res+1) as one codegen'd
+    expression — the JVM twin of the kernel's to_children_batch level
+    step (r7; retires the Arrow children UDF from the uncompact path):
+    child = cell + 2^52 (res nibble bump) - 7*2^off + d*2^off, d in
+    0..6, with pentagons (pentagon base cell + all-center digits, the
+    same test as _is_pentagon_col) skipping the K digit d=1. 2^off via
+    pow-cast is exact (off <= 42)."""
+    c = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    r1 = h3_resolution(c) + 1
+    off = F.pow(F.lit(2.0), ((F.lit(15) - r1) * 3).cast("double")).cast(
+        "long"
+    )
+    base = c + F.lit(1 << 52) - F.lit(7) * off
+    digits = F.when(
+        _is_pentagon_col(c),
+        F.array(*[F.lit(d) for d in (0, 2, 3, 4, 5, 6)]),
+    ).otherwise(F.array(*[F.lit(d) for d in range(7)]))
+    return F.transform(digits, lambda d: base + d.cast("long") * off)
 
 
 def uncompact_cells_df(
@@ -130,32 +193,31 @@ def uncompact_cells_df(
     """Expand a mixed-res cell relation to uniform `res` (children
     explode; cells already at `res` pass through).
 
-    The explode is staged at most 4 resolution levels at a time: a
-    single-stage explode of a res-0 cell to res 9 would materialize a
-    7^9-element array in ONE row's UDF output (gigabytes); staging keeps
-    every intermediate array <= 7^4 elements and lets the engine
-    redistribute rows between stages."""
+    One pure-JVM Generate per resolution level (children_one_level_col
+    — rows already at `res` pass through as single-element arrays), so
+    the whole expansion stays inside WholeStageCodegen with no
+    JVM->Python Arrow transfer (r7; previously an Arrow children UDF
+    shipped up to 7^4-element arrays per row across the boundary).
+    Every _MAX_EXPLODE_LEVELS levels the relation is redistributed so
+    a deep fan-out (7^4 per stage) spreads across the cluster instead
+    of amplifying within one task."""
     spark = cells.sparkSession
     out = cells.where(h3_resolution(cell_col) == res).select(cell_col)
     todo = cells.where(h3_resolution(cell_col) < res).select(cell_col)
     min_res = todo.agg(F.min(h3_resolution(cell_col))).first()[0]
     if min_res is None:
         return out
-    step_res = int(min_res)
-    while step_res < res:
-        step_res = min(res, step_res + _MAX_EXPLODE_LEVELS)
-        # explode rows below the stage target; rows at/above it (but
-        # still below `res`) carry through to the next stage unchanged
-        exp = todo.where(h3_resolution(cell_col) < step_res).select(
-            F.explode(h3_to_children_udf(step_res)(F.col(cell_col))).alias(
-                cell_col
-            )
+    levels = res - int(min_res)
+    for i in range(levels):
+        todo = todo.select(
+            F.explode(
+                F.when(
+                    h3_resolution(cell_col) < res,
+                    children_one_level_col(cell_col),
+                ).otherwise(F.array(F.col(cell_col)))
+            ).alias(cell_col)
         )
-        keep = todo.where(h3_resolution(cell_col) >= step_res)
-        todo = exp.unionByName(keep)
-        if step_res < res:
-            # redistribute between stages so the next fan-out spreads
-            # across the cluster instead of amplifying within one task
+        if (i + 1) % _MAX_EXPLODE_LEVELS == 0 and (i + 1) < levels:
             todo = todo.repartition(
                 max(spark.sparkContext.defaultParallelism, 1)
             )

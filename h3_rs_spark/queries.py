@@ -1532,16 +1532,32 @@ def q36_compact_distributed(spark, sf_dir):
     cells = spark.createDataFrame(
         pd.DataFrame({"cell": cells_np}), "cell long"
     ).repartition(8).persist()
-    comp = compact_cells_df(cells).persist()
-    back = uncompact_cells_df(comp, 9).distinct().persist()
     n_in = cells.count()
+    comp = compact_cells_df(cells).persist()
     n_comp = comp.count()
-    n_back = back.count()
-    n_sym_diff = (
-        back.exceptAll(cells).count() + cells.exceptAll(back).count()
+    back = uncompact_cells_df(comp, 9).distinct()
+    # n_back and the symmetric difference in ONE aggregation job (r7,
+    # guide §2.4): both inputs are distinct cell sets, so tagging each
+    # side and group-counting per cell gives |back| = sum(b) and
+    # |symdiff| = count(a != b) — value-identical to the former
+    # back.count() + two exceptAll().count() jobs (exceptAll on
+    # distinct sets IS the set difference), in one pass over back
+    # instead of three.
+    tagged = cells.select(
+        "cell", F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    ).unionByName(back.select("cell", F.lit(0).alias("_a"), F.lit(1).alias("_b")))
+    row = (
+        tagged.groupBy("cell")
+        .agg(F.sum("_a").alias("a"), F.sum("_b").alias("b"))
+        .agg(
+            F.sum("b").alias("n_back"),
+            F.sum((F.col("a") != F.col("b")).cast("long")).alias("n_sym"),
+        )
+        .first()
     )
+    n_back, n_sym_diff = int(row[0] or 0), int(row[1] or 0)
     n_viol = antichain_violations(comp).count()
-    for df in (cells, comp, back):
+    for df in (cells, comp):
         df.unpersist()
     return spark.createDataFrame(
         [(n_in, n_comp, n_back, n_sym_diff, n_viol)],
