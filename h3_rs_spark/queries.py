@@ -93,11 +93,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def derived_points(spark: SparkSession, sf_dir: str, table: str = "orders",
                    key: str = "o_orderkey") -> DataFrame:
     df = _t(spark, sf_dir, table)
-    return df.select(
+    out = df.select(
         F.col(key).alias("point_id"),
         F.expr(lat_sql(key)).alias("lat"),
         F.expr(lng_sql(key)).alias("lng"),
     )
+    # single-file driver tables arrive as ONE scan split, which would
+    # serialize every downstream Arrow encode UDF onto one core (r7,
+    # guide §2.5 input skew / §4 — the geo_to_h3 passes of q23/q25/q26/
+    # q29/q39 all start here). Spread the NARROW projection (24 B/row)
+    # when the source is big enough that a one-core encode dominates;
+    # below ~16 MB of parquet (~1M rows) the extra shuffle measurably
+    # costs more than it buys (A/B'd at sf0.1: 0.83s -> 0.87-1.1s), so
+    # small fixtures keep the shuffle-free plan. At scale inputs have
+    # >= cores splits anyway and this whole branch is a no-op.
+    target = spark.sparkContext.defaultParallelism
+    if (
+        _src_bytes(sf_dir, table) > (16 << 20)
+        and df.rdd.getNumPartitions() < target
+    ):
+        out = out.repartition(target)
+    return out
+
+
+def _src_bytes(sf_dir: str, table: str) -> int:
+    """On-disk size of a driver table (single parquet file or dir)."""
+    from pathlib import Path
+
+    p = Path(sf_dir) / f"{table}.parquet"
+    try:
+        if p.is_dir():
+            return sum(f.stat().st_size for f in p.glob("**/*.parquet"))
+        return p.stat().st_size
+    except OSError:
+        return 0
 
 
 # --------------------------------------------------------------------------
