@@ -307,11 +307,14 @@ def h3_to_children_udf(child_res: int):
 @F.pandas_udf(ArrayType(LongType()))
 def h3_line_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Minimal grid path per pair (H3 h3Line; local-frame cube lerp with
-    greedy fallback — see h3core.localij)."""
+    greedy fallback — see h3core.localij). Batched over the Arrow batch
+    (r7): greedy-fallback pairs walk together, one neighbors() kernel
+    call per step for the whole batch (path-identical to the scalar
+    loop, pinned by test_h3_line_batch_parity)."""
     av = a.to_numpy(dtype=np.int64)
     bv = b.to_numpy(dtype=np.int64)
     return pd.Series(
-        [traversal.h3_line(int(x), int(y)).tolist() for x, y in zip(av, bv)]
+        [p.tolist() for p in traversal.h3_line_batch(av, bv)]
     )
 
 

@@ -265,6 +265,71 @@ def h3_line(a: int, b: int, max_steps: int = 10_000) -> np.ndarray:
     return _h3_line_greedy(int(a), int(b), max_steps)
 
 
+def h3_line_batch(a, b, max_steps: int = 10_000) -> list[np.ndarray]:
+    """Per-pair h3_line for a BATCH of pairs (r7): local-frame pairs go
+    through the per-pair cube-lerp (cheap, ~2 ms), and all
+    greedy-fallback pairs advance TOGETHER — one batched neighbors()
+    kernel call per walk step for the whole batch instead of one per
+    step per pair (q38's 46 fallback pairs: 475 single-cell kernel
+    calls -> ~15 batched ones, 4.3 s -> ~0.2 s). Paths are identical
+    to per-pair h3_line: neighbors() orders each owner's candidates by
+    cell value in both the single and batched form (np.unique), so the
+    greedy argmax tie-breaks the same way — pinned by
+    tests/test_operators.py::test_h3_line_batch_parity."""
+    from .localij import h3_line_local
+
+    a = np.atleast_1d(np.asarray(a, dtype=np.int64))
+    b = np.atleast_1d(np.asarray(b, dtype=np.int64))
+    out: list = [None] * a.shape[0]
+    greedy = []
+    for i, (x, y) in enumerate(zip(a.tolist(), b.tolist())):
+        p = h3_line_local(int(x), int(y))
+        if p is None:
+            greedy.append(i)
+        else:
+            out[i] = p
+    if greedy:
+        gi = np.asarray(greedy)
+        for i, p in zip(
+            greedy, _h3_line_greedy_batch(a[gi], b[gi], max_steps)
+        ):
+            out[i] = p
+    return out
+
+
+def _h3_line_greedy_batch(
+    a_arr: np.ndarray, b_arr: np.ndarray, max_steps: int = 10_000
+) -> list[np.ndarray]:
+    """Batched twin of _h3_line_greedy — same walk, same argmax, same
+    stuck/exhaustion semantics, per-step kernel calls batched over all
+    unfinished pairs."""
+    tlat, tlng = fk.h3_to_geo(b_arr)
+    txyz = geo_to_xyz(np.radians(tlat), np.radians(tlng))  # (n, 3)
+    paths = [[int(x)] for x in a_arr.tolist()]
+    cur = a_arr.copy()
+    done = cur == b_arr
+    for _ in range(max_steps):
+        act = np.flatnonzero(~done)
+        if act.size == 0:
+            break
+        owner, nb = neighbors(cur[act])
+        lat, lng = fk.h3_to_geo(nb)
+        xyz = geo_to_xyz(np.radians(lat), np.radians(lng))
+        dots = np.einsum("ij,ij->i", xyz, txyz[act[owner]])
+        for local_i, g in enumerate(act.tolist()):
+            m = owner == local_i
+            cand = nb[m]
+            nxt = int(cand[int(np.argmax(dots[m]))])
+            if nxt in paths[g][-3:]:
+                done[g] = True  # stuck (matches the scalar walk: the
+                continue  # repeated cell is NOT appended)
+            paths[g].append(nxt)
+            cur[g] = nxt
+            if nxt == int(b_arr[g]):
+                done[g] = True
+    return [np.array(p, dtype=np.int64) for p in paths]
+
+
 def _h3_line_greedy(a: int, b: int, max_steps: int = 10_000) -> np.ndarray:
     """Greedy great-circle walk fallback (connected, endpoints exact;
     not guaranteed minimal)."""

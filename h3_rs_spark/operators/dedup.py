@@ -898,6 +898,23 @@ def embedding_near_dup(
     return out
 
 
+def _release_ckpt(df: DataFrame | None) -> None:
+    """Free a no-longer-referenced localCheckpoint's storage blocks
+    (ADVICE r6: the CC round loop otherwise accumulates one
+    checkpointed relation per round until GC + ContextCleaner happen
+    to reclaim them). The checkpointed RDD is reachable through the
+    LogicalRDD plan node; unpersisting it destroys the DataFrame's
+    data (lineage was truncated), so callers only release relations
+    nothing will read again. Best-effort: internals drift across Spark
+    versions, and a failed release just reverts to GC-based cleanup."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 _LAST_CC_STATS: dict = {}
 
 
@@ -976,6 +993,7 @@ def connected_components(
     )
     converged = False
     rounds = 0
+    prev_ckpt = labels  # released once the next round's checkpoint exists
     for rounds in range(1, max_rounds + 1):
         nmin = (
             sym.join(labels.withColumnsRenamed({"id": "dst", "lbl": "_dl"}), "dst")
@@ -999,12 +1017,21 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above fully materialized this round, so
+        # the previous round's checkpointed blocks are dead — release
+        # them now instead of waiting for GC (ADVICE r6: a long bench
+        # session accumulated one checkpointed relation per round)
+        _release_ckpt(prev_ckpt)
+        prev_ckpt = jumped
         changed = jumped.where(F.col("lbl") != F.col("_l2")).limit(1).count()
         labels = jumped.select("id", F.col("_l2").alias("lbl"))
         if changed == 0:
             converged = True
             break
     _LAST_CC_STATS = {"rounds": rounds, "converged": converged}
+    # the result reads only the FINAL round's checkpoint; the edge-list
+    # checkpoint is dead once the loop exits
+    _release_ckpt(pair)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
@@ -1028,7 +1055,16 @@ def near_dup_keep_list(
     were computed over (rows filtered between dedup and decision), a
     component whose min-id row is absent still keeps exactly one
     surviving row instead of vanishing entirely. When df covers every
-    endpoint the two definitions coincide."""
+    endpoint the two definitions coincide.
+
+    RESERVED OUTPUT COLUMNS (ADVICE r6): the result adds `component`
+    and `keep`; a df already carrying either name would collide, so
+    this fails fast instead of shadowing silently."""
+    if {"component", "keep"} & set(df.columns):
+        raise ValueError(
+            "near_dup_keep_list reserves output columns 'component' and "
+            f"'keep'; rename them in the input (columns: {df.columns})"
+        )
     from pyspark.sql import Window
 
     comp = connected_components(pairs, df.select(id_col))

@@ -2639,7 +2639,11 @@ def q51_cc_keep_list(spark, sf_dir):
         int(hs.groupBy("h").count().agg(F.max("count")).first()[0] or 1) - 1
     )
     hs.unpersist()
-    bound = math.ceil(math.log2(max(max_hops, 1))) + 2
+    # +1 inside the log (ADVICE r6): at max_hops = 2^m the raw bound
+    # has ZERO slack (measured rounds equal it exactly), so any benign
+    # change to the per-round update flips the gate red; log2(h+1)
+    # still pins O(log diameter) without sitting on the boundary
+    bound = math.ceil(math.log2(max(max_hops, 1) + 1)) + 2
     if not st.get("converged") or st.get("rounds", 1 << 30) > bound:
         raise AssertionError(
             f"cc convergence law violated: {st} vs log-bound {bound} "

@@ -616,6 +616,44 @@ class TestLocalFrame:
             path = tv.h3_line(a, int(b))
             assert len(path) == tv.h3_distance(a, int(b)) + 1
 
+    def test_h3_line_batch_parity(self):
+        """h3_line_batch (r7: greedy-fallback pairs walk together, one
+        batched neighbors() call per step) must return bit-identical
+        paths to the scalar h3_line — including pentagon-neighborhood
+        pairs that force the greedy fallback (the q38 fixture shape)."""
+        from h3_rs_spark.h3core import indexing as ix
+        from h3_rs_spark.h3core import traversal as tv
+        from h3_rs_spark.h3core.constants import PENTAGON_BASE_CELLS
+
+        digits = np.full((1, 15), 7, dtype=np.int64)
+        digits[:, :7] = 0
+        pent = ix.from_components(
+            PENTAGON_BASE_CELLS[:1].astype(np.int64), 7, digits
+        )
+        plat, plng = h3.h3_to_geo(pent)
+        metros = [
+            (37.76, -122.44), (-33.87, 151.21),
+            (float(plat[0]), float(plng[0])),  # pentagon neighborhood
+        ]
+        a_list, b_list = [], []
+        for m, (mlat, mlng) in enumerate(metros):
+            lats = mlat + 0.11 * np.sin(2.7 * np.arange(16) + m)
+            lngs = mlng + 0.11 * np.cos(1.9 * np.arange(16) + 3.0 * m)
+            cells = h3.geo_to_h3(lats, lngs, 7)
+            for x, y in zip(cells[:-1], cells[1:]):
+                if x != y:
+                    a_list.append(int(x))
+                    b_list.append(int(y))
+        batch = tv.h3_line_batch(np.array(a_list), np.array(b_list))
+        n_fallback = 0
+        from h3_rs_spark.h3core.localij import h3_line_local
+
+        for x, y, got in zip(a_list, b_list, batch):
+            if h3_line_local(x, y) is None:
+                n_fallback += 1
+            assert (got == tv.h3_line(x, y)).all()
+        assert n_fallback > 0  # the pentagon metro must exercise greedy
+
 
 class TestTransmeridian:
     """Antimeridian-crossing polygons (beyond the reference's fixtures —

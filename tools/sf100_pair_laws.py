@@ -70,6 +70,15 @@ def main() -> int:
             f"[{st['mn']},{st['mx']}] exact={st['n_exact']} "
             f"expect>={expect} wall={wall:.0f}s"
         )
+        # empty-relation guard (ADVICE r6): an empty pair relation gets
+        # NULL mn/mx/n_ord and the asserts below would raise a
+        # misleading 'ordering law' — report the real condition instead
+        # (matching the engine-side _assert_pair_laws guard)
+        if not st["n"]:
+            raise AssertionError(
+                f"pair relation is EMPTY (expected >= {expect} exact-dup "
+                "pairs) — laws not evaluable"
+            )
         assert st["n_ord"] == st["n"], "ordering law"
         assert mx_ok(st["mn"], st["mx"]), "threshold law"
         assert st["n_exact"] >= expect, "exact-dup recall law"
