@@ -6,9 +6,18 @@ validated against the reference goldens (tests/test_h3_goldens.py).
 
 Resolution/k parameters are Python literals captured in closures so only
 the data columns cross the JVM->Python boundary.
+
+The factory functions are lru_cached (r7): every call used to rebuild
+the pandas UDF — a cloudpickle of the closure plus py4j registration
+chatter per call — measurable driver-side latency in the kNN round loop
+and every query that re-derives cells. The returned UDF objects are
+session-independent (registration happens at use), so caching by the
+literal parameters is safe.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import pandas as pd
@@ -26,6 +35,7 @@ from pyspark.sql.types import (
 from ..h3core import faceijk, indexing, traversal
 
 
+@functools.lru_cache(maxsize=64)
 def geo_to_h3_udf(res: int):
     """(lat, lng) degrees -> cell int64 (0 for invalid input).
 
@@ -93,6 +103,7 @@ def h3_is_pentagon_udf(cell: pd.Series) -> pd.Series:
     return pd.Series(indexing.is_pentagon(cell.to_numpy(dtype=np.int64)))
 
 
+@functools.lru_cache(maxsize=64)
 def k_ring_udf(k: int):
     """cell -> array<long> of all cells within grid distance k."""
 
@@ -113,6 +124,7 @@ _RING_TYPE = ArrayType(
 )
 
 
+@functools.lru_cache(maxsize=64)
 def k_ring_distances_udf(k: int):
     """cell -> array<struct<cell, k>> grouped by grid distance 0..k."""
 
@@ -128,6 +140,7 @@ def k_ring_distances_udf(k: int):
     return _f
 
 
+@functools.lru_cache(maxsize=64)
 def k_ring_dyn_udf():
     """(cell, ring) -> array<long>: per-ROW ring radius, for operators
     that keep per-key ring state in a column (distributed kNN). Each
@@ -152,6 +165,7 @@ def k_ring_dyn_udf():
     return _f
 
 
+@functools.lru_cache(maxsize=64)
 def edges_from_cell_udf():
     """cell -> array<long> of its unidirectional edges (6, 5 for
     pentagons) — §2.8 surface (h3core/edges.py)."""
@@ -170,6 +184,7 @@ def edges_from_cell_udf():
     return _f
 
 
+@functools.lru_cache(maxsize=64)
 def edge_destination_udf():
     """edge -> destination cell (0 for invalid)."""
 
@@ -187,6 +202,7 @@ _EDGE_BOUNDARY_TYPE = ArrayType(
 )
 
 
+@functools.lru_cache(maxsize=64)
 def edge_boundary_udf():
     """edge -> the shared boundary segment's (lat, lng) vertex list:
     both true endpoints plus any Class III distortion vertices between
@@ -219,6 +235,7 @@ _HEX_RANGES_TYPE = StructType(
 )
 
 
+@functools.lru_cache(maxsize=64)
 def hex_ranges_udf(k: int):
     """array<origin cells> -> struct<ok, disks>: the reference's only
     multi-origin traversal (hexRanges, h3-sys/src/ffi.rs:120-126) as a
@@ -255,6 +272,7 @@ def hex_ranges_udf(k: int):
     return _f
 
 
+@functools.lru_cache(maxsize=64)
 def geo_disk_dyn_udf():
     """(lat, lng, res, ring) -> array<long>: the full k-ring disk of
     the point's cell at a per-ROW (res, ring). Fuses the dynamic-res
@@ -289,6 +307,7 @@ def geo_disk_dyn_udf():
     return _f.asNondeterministic()
 
 
+@functools.lru_cache(maxsize=64)
 def h3_to_children_udf(child_res: int):
     @F.pandas_udf(ArrayType(LongType()))
     def _f(cell: pd.Series) -> pd.Series:

@@ -25,6 +25,7 @@ shuffle spill) cost LSH work proportional to distinct content only.
 
 from __future__ import annotations
 
+import functools
 import threading
 
 import numpy as np
@@ -427,6 +428,7 @@ def _minhash_params(k: int):
     return _MINHASH_A[:k], _MINHASH_B[:k]
 
 
+@functools.lru_cache(maxsize=16)
 def minhash_signature_udf(num_hashes: int = 64, shingle: int = 5):
     @F.pandas_udf(ArrayType(LongType()))
     def _f(text: pd.Series) -> pd.Series:
@@ -619,6 +621,7 @@ def minhash_lsh_dedup(
     return out
 
 
+@functools.lru_cache(maxsize=16)
 def simhash_udf(shingle: int = 3):
     """64-bit simhash, batched across the Arrow batch: shingle hashes of
     all docs concatenate into one array, per-doc bit votes fold with a

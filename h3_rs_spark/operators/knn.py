@@ -398,34 +398,31 @@ def _escalate_state(df: DataFrame) -> DataFrame:
     CASE-WHEN rewrites res_eff/ring through nested expressions each
     round, so the logical plan grows exponentially otherwise (plan
     materialization OOMs by round ~3); localCheckpoint keeps the state
-    distributed (executor blocks) while resetting the plan to a leaf."""
-    df = df.withColumn("_res0", F.col("res_eff"))
+    distributed (executor blocks) while resetting the plan to a leaf.
+
+    Each step is ONE selectExpr with SQL text (r7): the Column-object
+    form cost ~0.28 s of pure py4j expression-building per call — a
+    per-round driver tax in the kNN loop; the SQL strings build in
+    Python and parse JVM-side in one call per step, producing the
+    identical nested-projection plan."""
+    others = [c for c in df.columns if c not in ("res_eff", "ring")]
+    df = df.selectExpr(*df.columns, "res_eff AS _res0")
+    m = f"(ring > {_COARSEN_AT} AND res_eff > 0)"
+    step = [*others, "_res0",
+            f"CASE WHEN {m} THEN greatest(res_eff - 2, 0) "
+            "ELSE res_eff END AS res_eff",
+            f"CAST(CASE WHEN {m} THEN greatest(floor(ring / 7), 1) "
+            "ELSE ring END AS BIGINT) AS ring"]
     for _ in range(8):
-        m = (F.col("ring") > _COARSEN_AT) & (F.col("res_eff") > 0)
-        df = df.withColumns(
-            {
-                "res_eff": F.when(
-                    m, F.greatest(F.col("res_eff") - 2, F.lit(0))
-                ).otherwise(F.col("res_eff")),
-                "ring": F.when(
-                    m, F.greatest(F.floor(F.col("ring") / 7), F.lit(1))
-                )
-                .otherwise(F.col("ring"))
-                .cast("long"),
-            }
-        )
+        df = df.selectExpr(*step)
     # coarse escalations lose margin to the integer //7 steps; +2
     # rings at a coarse res is cheap (cells ~ 3r^2 of FEW coarse
     # cells) and usually saves a whole extra probe round
-    return df.withColumn(
-        "ring",
-        F.when(
-            F.col("res_eff") < F.col("_res0"),
-            F.least(F.col("ring") + 2, F.lit(_COARSEN_AT)),
-        )
-        .otherwise(F.col("ring"))
-        .cast("long"),
-    ).drop("_res0")
+    return df.selectExpr(
+        *others, "res_eff",
+        "CAST(CASE WHEN res_eff < _res0 THEN least(ring + 2, "
+        f"{_COARSEN_AT}) ELSE ring END AS BIGINT) AS ring",
+    )
 
 
 def _edge_len_col(res_col):

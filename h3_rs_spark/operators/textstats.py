@@ -9,6 +9,8 @@ vectorized pandas UDF (polynomial rolling hash over codepoints).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -133,6 +135,7 @@ def _fp_batch(texts) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=4)
 def fingerprint_udf():
     """Polynomial rolling hash over codepoints -> int64 fingerprint."""
 
