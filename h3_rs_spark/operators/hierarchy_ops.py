@@ -52,7 +52,9 @@ for _d in range(1, 16):
     _PENT_DESC.append(_PENT_DESC[-1] + 5 * 7 ** (_d - 1))
 
 
-def compact_cells_df(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
+def compact_cells_df(
+    cells: DataFrame, cell_col: str = "cell", res: int | None = None
+) -> DataFrame:
     """Minimal multi-res covering set of a uniform-res cell relation.
 
     Returns a DataFrame with the same cell_col holding the compacted
@@ -74,8 +76,12 @@ def compact_cells_df(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
     complete set (<= n/6 rows), two anti-joins. A constant number of
     shuffles instead of O(res) sequential rounds; output pinned by the
     reference's own 1253 -> 209 golden (q36) and
-    tests/test_operators.py round-trip/idempotence tests."""
-    res = cells.select(F.max(h3_resolution(cell_col))).first()[0]
+    tests/test_operators.py round-trip/idempotence tests.
+
+    res: optional caller-known uniform resolution — skips the one
+    derivation job (r7; callers holding a fresh polyfill know it)."""
+    if res is None:
+        res = cells.select(F.max(h3_resolution(cell_col))).first()[0]
     if res is None:
         return cells
     res = int(res)
@@ -188,7 +194,10 @@ def children_one_level_col(cell_col):
 
 
 def uncompact_cells_df(
-    cells: DataFrame, res: int, cell_col: str = "cell"
+    cells: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    min_res: int | None = None,
 ) -> DataFrame:
     """Expand a mixed-res cell relation to uniform `res` (children
     explode; cells already at `res` pass through).
@@ -200,11 +209,16 @@ def uncompact_cells_df(
     shipped up to 7^4-element arrays per row across the boundary).
     Every _MAX_EXPLODE_LEVELS levels the relation is redistributed so
     a deep fan-out (7^4 per stage) spreads across the cluster instead
-    of amplifying within one task."""
+    of amplifying within one task.
+
+    min_res: optional caller-known coarsest input res — skips the one
+    derivation job. Understating it only adds pass-through explode
+    levels (each row wraps in a 1-element array), never wrongness."""
     spark = cells.sparkSession
     out = cells.where(h3_resolution(cell_col) == res).select(cell_col)
     todo = cells.where(h3_resolution(cell_col) < res).select(cell_col)
-    min_res = todo.agg(F.min(h3_resolution(cell_col))).first()[0]
+    if min_res is None:
+        min_res = todo.agg(F.min(h3_resolution(cell_col))).first()[0]
     if min_res is None:
         return out
     levels = res - int(min_res)

@@ -94,5 +94,9 @@ def polyfill_distributed(
         [(int(c),) for c in cover], f"{cell_col} long"
     ).repartition(max(spark.sparkContext.defaultParallelism, 1), cell_col)
 
-    cand = uncompact_cells_df(cover_df, res, cell_col=cell_col)
+    # the cover is uniformly at coarse_res by construction — the hint
+    # skips uncompact's min-res derivation job (r7)
+    cand = uncompact_cells_df(
+        cover_df, res, cell_col=cell_col, min_res=coarse_res
+    )
     return cand.where(centroid_in_polygon_udf(exterior, holes)(F.col(cell_col)))

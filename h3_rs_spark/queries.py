@@ -1562,9 +1562,12 @@ def q36_compact_distributed(spark, sf_dir):
         pd.DataFrame({"cell": cells_np}), "cell long"
     ).repartition(8).persist()
     n_in = cells.count()
-    comp = compact_cells_df(cells).persist()
+    # res=9 is the fixture's construction (polyfill at 9); min_res=0
+    # understates comp's coarsest res, which only adds pass-through
+    # explode levels — both hints skip a derivation job (r7)
+    comp = compact_cells_df(cells, res=9).persist()
     n_comp = comp.count()
-    back = uncompact_cells_df(comp, 9).distinct()
+    back = uncompact_cells_df(comp, 9, min_res=0).distinct()
     # n_back and the symmetric difference in ONE aggregation job (r7,
     # guide §2.4): both inputs are distinct cell sets, so tagging each
     # side and group-counting per cell gives |back| = sum(b) and
@@ -1582,10 +1585,16 @@ def q36_compact_distributed(spark, sf_dir):
             F.sum("b").alias("n_back"),
             F.sum((F.col("a") != F.col("b")).cast("long")).alias("n_sym"),
         )
+        # the antichain count rides the same action as a 1-row cross
+        # join (both branches read already-materialized caches; one
+        # driver round-trip instead of two)
+        .crossJoin(
+            antichain_violations(comp).agg(F.count("*").alias("n_viol"))
+        )
         .first()
     )
     n_back, n_sym_diff = int(row[0] or 0), int(row[1] or 0)
-    n_viol = antichain_violations(comp).count()
+    n_viol = int(row[2] or 0)
     for df in (cells, comp):
         df.unpersist()
     return spark.createDataFrame(
