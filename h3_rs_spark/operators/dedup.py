@@ -331,7 +331,9 @@ def _expand_member_pairs(
     return cross.unionByName(within).unionByName(star)
 
 
-def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
+def _bucket_pairs(
+    banded: DataFrame, keys: list, cap: int, window_form: bool = True
+) -> DataFrame:
     """Candidate pairs (id_a < id_b) from LSH buckets.
 
     Buckets with <= cap members pair all-vs-all within the bucket. A
@@ -354,15 +356,24 @@ def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     are dropped) are pinned by tests/test_dedup.py. Exact duplicates
     are never lost: connectivity through the anchor survives.
 
-    Plan shape (r7, guide §2.4): bucket size and min-id anchor come
-    from ONE window over the banded relation — a single Exchange on the
-    bucket keys that the self-join then reuses — instead of the r6
-    groupBy-count + join-back + anchors-groupBy + join chain (4
-    exchanges + 2 joins). The window buffers one bucket per task
-    (narrow (keys, id) rows, spills via UnsafeExternalSorter), so the
-    memory shape is no worse than the old join build sides.
-    last_bucket_stats() keeps its own partial-agg'd count relation,
-    unchanged."""
+    Plan shape (r7, guide §2.4, window_form=True): bucket size and
+    min-id anchor come from ONE window over the banded relation — a
+    single Exchange on the bucket keys that the self-join then reuses —
+    instead of the r6 groupBy-count + join-back + anchors-groupBy +
+    join chain (4 exchanges + 2 joins). The window buffers one bucket
+    per task (narrow (keys, id) rows, spills via
+    UnsafeExternalSorter). The r5 refutation of this same rewrite was
+    RE-MEASURED this round and survives only on the path it was
+    measured on: with banding over raw corpus rows
+    (distinct_content=False) the window's full sort of the 16x-corpus
+    banded relation loses big (13.5 s vs 8.5 s at 50k docs), because
+    AQE broadcasts the small count relation back for free — so the
+    legacy callers pass window_form=False and keep the groupBy+join
+    chain. On the r6+ distinct-content default the banded relation is
+    bounded by DISTINCT signatures and the window form measured equal
+    or better at sf0.1 AND sf1 (same-session A/B: 1.58–1.79 vs
+    1.79–1.84 s, 1.96–2.19 vs 2.22 s). last_bucket_stats() keeps its
+    own partial-agg'd count relation, unchanged either way."""
     from pyspark.sql import Window
 
     global _LAST_BUCKET_STATS
@@ -396,21 +407,31 @@ def _bucket_pairs(banded: DataFrame, keys: list, cap: int) -> DataFrame:
         .cast("long")
         .alias("skipped_pairs"),
     )
-    w = Window.partitionBy(*keys)
-    counted = banded.withColumns(
-        {"_bc": F.count("*").over(w), "_anchor": F.min("id").over(w)}
-    )
-    normal = counted.where(F.col("_bc") <= cap).drop("_bc", "_anchor")
+    if window_form:
+        w = Window.partitionBy(*keys)
+        counted = banded.withColumns(
+            {"_bc": F.count("*").over(w), "_anchor": F.min("id").over(w)}
+        )
+        normal = counted.where(F.col("_bc") <= cap).drop("_bc", "_anchor")
+        star = counted.where(
+            (F.col("_bc") > cap) & (F.col("id") != F.col("_anchor"))
+        ).select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+    else:
+        counted = banded.join(counts, keys)
+        normal = counted.where(F.col("_bc") <= cap).drop("_bc")
+        hot = counted.where(F.col("_bc") > cap).drop("_bc")
+        anchors = hot.groupBy(*keys).agg(F.min("id").alias("_anchor"))
+        star = (
+            hot.join(anchors, keys)
+            .where(F.col("id") != F.col("_anchor"))
+            .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+        )
     a, b = normal.alias("a"), normal.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for k in keys:
         cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
     pairs = a.join(b, cond).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-    )
-    star = (
-        counted.where((F.col("_bc") > cap) & (F.col("id") != F.col("_anchor")))
-        .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
     )
     return pairs.unionByName(star).dropDuplicates(["id_a", "id_b"])
 
@@ -590,7 +611,10 @@ def minhash_lsh_dedup(
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    pairs = _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
+    pairs = _bucket_pairs(
+        banded, ["band", "bucket"], bucket_cap,
+        window_form=distinct_content,
+    )
     # re-attach the wide signature arrays with plain shuffle joins on id:
     # never F.broadcast(sig) — the signature relation is proportional to
     # the FULL corpus and a forced broadcast OOMs at scale. AQE still
@@ -709,7 +733,10 @@ def simhash_dedup(
         "id", "bb.band", "bb.bucket"
     )
     pairs = (
-        _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
+        _bucket_pairs(
+            banded, ["band", "bucket"], bucket_cap,
+            window_form=distinct_content,
+        )
         # shuffle-join re-attach (see minhash_lsh_dedup): no forced
         # broadcast of the corpus-sized simhash relation
         .join(sim.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -873,7 +900,9 @@ def embedding_near_dup(
     )
     vecs = vecs0
     pairs = (
-        _bucket_pairs(banded, ["bucket"], bucket_cap)
+        _bucket_pairs(
+            banded, ["bucket"], bucket_cap, window_form=distinct_content
+        )
         # shuffle-join re-attach (see minhash_lsh_dedup): no forced
         # broadcast of the corpus-sized vector relation
         .join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")

@@ -240,13 +240,25 @@ FROM events GROUP BY 1, 2
 
 
 def q05_setops(spark, sf_dir):
+    """Set ops as ONE pass (r7, guide §2.4): per-custkey hi/urgent
+    flags from a single scan + groupBy, then both counts in one
+    aggregation — value-identical to the former
+    intersect().count() + distinct().exceptAll(distinct()).count()
+    pair (both operate on distinct key sets), which cost two jobs and
+    four distinct-shuffles."""
     o = _t(spark, sf_dir, "orders")
-    hi = o.where(F.col("o_totalprice") > 100000).select("o_custkey")
-    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    both = hi.intersect(urgent).count()
-    only_hi = hi.distinct().exceptAll(urgent.distinct()).count()
+    flags = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_totalprice") > 100000).cast("int")).alias("_hi"),
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias(
+            "_ur"
+        ),
+    )
+    both, only_hi = flags.agg(
+        F.sum(((F.col("_hi") == 1) & (F.col("_ur") == 1)).cast("long")),
+        F.sum(((F.col("_hi") == 1) & (F.col("_ur") == 0)).cast("long")),
+    ).first()
     return spark.createDataFrame(
-        [(int(both), int(only_hi))], "n_both long, n_only_high long"
+        [(int(both or 0), int(only_hi or 0))], "n_both long, n_only_high long"
     )
 
 
@@ -1562,12 +1574,14 @@ def q36_compact_distributed(spark, sf_dir):
         pd.DataFrame({"cell": cells_np}), "cell long"
     ).repartition(8).persist()
     n_in = cells.count()
-    # res=9 is the fixture's construction (polyfill at 9); min_res=0
-    # understates comp's coarsest res, which only adds pass-through
-    # explode levels — both hints skip a derivation job (r7)
+    # res=9 is the fixture's construction (polyfill at 9) — the hint
+    # skips compact's derivation job. uncompact derives its own
+    # min_res: understating it (e.g. 0) adds pass-through explode
+    # levels AND an extra mid-expansion repartition shuffle, measured
+    # as a net loss vs the one cheap derivation job over the cache.
     comp = compact_cells_df(cells, res=9).persist()
     n_comp = comp.count()
-    back = uncompact_cells_df(comp, 9, min_res=0).distinct()
+    back = uncompact_cells_df(comp, 9).distinct()
     # n_back and the symmetric difference in ONE aggregation job (r7,
     # guide §2.4): both inputs are distinct cell sets, so tagging each
     # side and group-counting per cell gives |back| = sum(b) and
