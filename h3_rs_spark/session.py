@@ -98,6 +98,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's 1 MB minimum post-shuffle partition size assumes work is
+        # byte-proportional; the engine's verify stages (pair scoring
+        # over 64-element arrays) run ~us-per-ROW, so 1 MB-granularity
+        # coalescing starves them to 2-3 tasks. 64 KB lets
+        # parallelismFirst actually use the cluster on CPU-dense tails;
+        # at scale advisory = max(bytes/parallelism, this) >> 1 MB and
+        # the floor never binds (r7, measured ~25% on the q14 tail).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64KB"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Shuffle I/O layout (r7, guide §2.1/§2.2): keep shuffle files on
         # the fastest local storage — measured on this sandbox: 4.2 s of
