@@ -62,9 +62,22 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries x full scan of vectors."""
     q = F.broadcast(queries.select(q_id_col, q_vec_col))
-    joined = vectors.select(
+    vecs = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).crossJoin(q.withColumn("qv", F.col(q_vec_col).cast("array<double>")))
+    )
+    # spread an under-split scan before the scoring cross join (r7,
+    # guide §2.5): a small embeddings parquet arrives as ONE split, so
+    # the |vectors| x |queries| interpreted-HOF scoring — the actual
+    # cost, ~10 us/pair, not the bytes — would run on one core.
+    # Measured: sf0.1 0.41 -> 0.25 s, sf1 1.95 -> 0.31 s. At scale the
+    # scan already has >= cores splits and this is a no-op (the same
+    # rule as operators/dedup._ensure_parallelism).
+    target = vectors.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < target:
+        vecs = vecs.repartition(target)
+    joined = vecs.crossJoin(
+        q.withColumn("qv", F.col(q_vec_col).cast("array<double>"))
+    )
     # rank by the UNROUNDED score (ties broken by id); report the score at
     # 4 dp. Two float formulations of cosine (fold-dot here, a library
     # kernel in an oracle engine) agree to well past 4 dp but can differ
