@@ -374,8 +374,6 @@ def _bucket_pairs(
     or better at sf0.1 AND sf1 (same-session A/B: 1.58–1.79 vs
     1.79–1.84 s, 1.96–2.19 vs 2.22 s). last_bucket_stats() keeps its
     own partial-agg'd count relation, unchanged either way."""
-    from pyspark.sql import Window
-
     global _LAST_BUCKET_STATS
     if not cap:
         a, b = banded.alias("a"), banded.alias("b")
@@ -408,9 +406,14 @@ def _bucket_pairs(
         .alias("skipped_pairs"),
     )
     if window_form:
-        w = Window.partitionBy(*keys)
-        counted = banded.withColumns(
-            {"_bc": F.count("*").over(w), "_anchor": F.min("id").over(w)}
+        # one selectExpr with SQL text (r7): same plan as the
+        # Window/withColumns form, one JVM parse instead of ~10 py4j
+        # expression round-trips per call
+        part = ", ".join(keys)
+        counted = banded.selectExpr(
+            "*",
+            f"count(*) OVER (PARTITION BY {part}) AS _bc",
+            f"min(id) OVER (PARTITION BY {part}) AS _anchor",
         )
         normal = counted.where(F.col("_bc") <= cap).drop("_bc", "_anchor")
         star = counted.where(
@@ -599,18 +602,25 @@ def minhash_lsh_dedup(
         # groupBy plus a membership join-back over the cached sig
         # relation (_tag_representatives).
         members, sig = _tag_representatives(sig, "sig")
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.hash(*[F.col("sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]).alias("bucket"),
+    # narrow (id, band, bucket) rows through the self-join + dedup; the
+    # wide signature arrays re-attach afterwards via shuffle join on id.
+    # Built as ONE selectExpr SQL string (r7): the Column-object form
+    # (16 structs x hash over 4 array indexes) cost ~0.3 s of pure py4j
+    # expression building per call — the SQL text parses JVM-side in a
+    # single round-trip and yields the identical plan.
+    band_items = ", ".join(
+        "named_struct('band', {i}, 'bucket', hash({args}))".format(
+            i=i,
+            args=", ".join(
+                f"sig[{j}]"
+                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+            ),
         )
         for i in range(bands)
-    ]
-    # narrow (id, band, bucket) rows through the self-join + dedup; the
-    # wide signature arrays re-attach afterwards via shuffle join on id
-    banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    banded = sig.selectExpr(
+        "id", f"explode(array({band_items})) AS bb"
+    ).selectExpr("id", "bb.band AS band", "bb.bucket AS bucket")
     pairs = _bucket_pairs(
         banded, ["band", "bucket"], bucket_cap,
         window_form=distinct_content,

@@ -391,7 +391,7 @@ def _initial_plans_driver(spark, images, q_pdf, k, res, cell_col,
     return plans
 
 
-def _escalate_state(df: DataFrame) -> DataFrame:
+def _escalate_state(df: DataFrame, steps: int = 8) -> DataFrame:
     """Statically-unrolled per-query resolution escalation (res drops
     by 2 per step, so 8 steps cover res 15 -> 0). Inside the round
     loop this MUST be followed by a localCheckpoint: the unrolled
@@ -404,7 +404,18 @@ def _escalate_state(df: DataFrame) -> DataFrame:
     form cost ~0.28 s of pure py4j expression-building per call — a
     per-round driver tax in the kNN loop; the SQL strings build in
     Python and parse JVM-side in one call per step, producing the
-    identical nested-projection plan."""
+    identical nested-projection plan.
+
+    steps: unroll depth. Catalyst's projection collapse nests each
+    step's CASE-WHEN inside the next TWICE (both branches reference
+    the previous res_eff), so analysis+optimization cost grows
+    ~2^steps — measured 0.97 s of pure driver time at 8 steps vs
+    0.12 s at 4, identical results. Callers whose state provably has
+    res_eff <= R pass ceil(R/2): escalation drops res_eff by 2 per
+    firing step and stops at 0, so ceil(R/2) steps always reach the
+    fixed point; extra steps are no-ops (ring > COARSEN_AT requires
+    res_eff > 0 to fire)."""
+    steps = max(1, min(int(steps), 8))
     others = [c for c in df.columns if c not in ("res_eff", "ring")]
     df = df.selectExpr(*df.columns, "res_eff AS _res0")
     m = f"(ring > {_COARSEN_AT} AND res_eff > 0)"
@@ -413,7 +424,7 @@ def _escalate_state(df: DataFrame) -> DataFrame:
             "ELSE res_eff END AS res_eff",
             f"CAST(CASE WHEN {m} THEN greatest(floor(ring / 7), 1) "
             "ELSE ring END AS BIGINT) AS ring"]
-    for _ in range(8):
+    for _ in range(steps):
         df = df.selectExpr(*step)
     # coarse escalations lose margin to the integer //7 steps; +2
     # rings at a coarse res is cheap (cells ~ 3r^2 of FEW coarse
@@ -480,16 +491,37 @@ def knn_join_distributed(
     """
     from ..functions.udfs import geo_disk_dyn_udf
 
-    def _escalate(df):
-        return _escalate_state(df).localCheckpoint(eager=True)
+    # res_eff bound for the escalate unroll depth: every state built
+    # here (lit(res)), by seed_state (res_eff = res), or by knn_join's
+    # driver seeder (seed_prepared, res_eff <= res) starts at or below
+    # `res`, and escalation only ever lowers it — so ceil(res/2) steps
+    # reach the fixed point in every round. Only a caller shipping its
+    # own res_eff/ring columns is unbounded (-> 15).
+    caller_seeded = {"res_eff", "ring"} <= set(queries.columns)
+    res_bound = 15 if (caller_seeded and not seed_prepared) else int(res)
+    esc_steps = (res_bound + 1) // 2
 
-    if density_precheck and not (
-        {"res_eff", "ring"} <= set(queries.columns)
-    ):
+    def _escalate(df):
+        # lazy checkpoint (r7): every _escalate call is followed
+        # immediately by an action over the state (the levels
+        # distinct-collect at the top of the round), so eager=False
+        # folds the checkpoint materialization into that action — one
+        # driver round-trip per escalate instead of two. Lineage still
+        # truncates at materialization, which is what keeps the
+        # unrolled CASE-WHEN plan from growing across rounds (same
+        # pattern as compact_cells_df's lazy checkpoint).
+        return _escalate_state(df, steps=esc_steps).localCheckpoint(
+            eager=False
+        )
+
+    if density_precheck and not caller_seeded:
         queries = seed_state(
             images, queries, k, res, cell_col, initial_ring,
             prefilter_broadcast=broadcast_candidates,
         )
+        # the seeded state starts at res_eff == res exactly
+        res_bound = int(res)
+        esc_steps = (res_bound + 1) // 2
     if {"res_eff", "ring"} <= set(queries.columns):
         state = queries.select(
             "query_id",

@@ -1573,7 +1573,11 @@ def q36_compact_distributed(spark, sf_dir):
     cells = spark.createDataFrame(
         pd.DataFrame({"cell": cells_np}), "cell long"
     ).repartition(8).persist()
-    n_in = cells.count()
+    # n_in is the row count of the driver-built local relation — no job
+    # needed (r7); the cells cache materializes inside comp.count()'s
+    # kept_leaves branch, so dropping the count() removes a whole action
+    # without ever computing `cells` twice.
+    n_in = int(cells_np.shape[0])
     # res=9 is the fixture's construction (polyfill at 9) — the hint
     # skips compact's derivation job. uncompact derives its own
     # min_res: understating it (e.g. 0) adds pass-through explode
