@@ -45,6 +45,18 @@ def h3_to_parent_col(cell: Column | str, parent_res: int) -> Column:
     return res_cleared.bitwiseOR(F.lit(parent_res << 52)).bitwiseOR(F.lit(fill))
 
 
+def h3_to_parent_sql(cell_expr: str, parent_res: int) -> str:
+    """SQL-text twin of h3_to_parent_col (r7 driver-latency work): the
+    same bit math as one string, for call sites that build plans in
+    selectExpr/expr form to avoid py4j round-trips. Parity pinned by
+    tests/test_functions.py::test_h3_to_parent_sql_parity."""
+    fill = (1 << (3 * (15 - parent_res))) - 1
+    return (
+        f"((({cell_expr} & {~(0xF << 52)}) | {parent_res << 52})"
+        f" | {fill})"
+    )
+
+
 def edge_origin_col(edge: Column | str) -> Column:
     """Unidirectional edge -> origin cell as pure bit math (clear mode
     + edge-number bits, set cell mode) — §2.8 surface, edges.py layout

@@ -193,11 +193,48 @@ def children_one_level_col(cell_col):
     return F.transform(digits, lambda d: base + d.cast("long") * off)
 
 
+_PENT_IN_SQL = ", ".join(str(b) for b in _PENT_BCS)
+
+
+def children_one_level_sql(x: str) -> str:
+    """SQL-text twin of children_one_level_col (r7): the Column form
+    costs ~120 py4j round-trips per call (~0.1-0.2 s of pure driver
+    latency on a slow gateway), paid once per explode LEVEL in the
+    uncompact loop; this string builds in Python and parses JVM-side
+    in one call, producing the identical expression tree (literal
+    subexpression duplication matches what Catalyst sees after the
+    Column tree expands). Parity pinned by
+    tests/test_operators.py::test_children_one_level_sql_parity."""
+    r1 = f"((shiftright({x}, 52) & 15) + 1)"
+    off = f"CAST(pow(2.0D, CAST((15 - {r1}) * 3 AS DOUBLE)) AS BIGINT)"
+    base = f"({x} + 4503599627370496 - 7 * {off})"
+    res = f"(shiftright({x}, 52) & 15)"
+    fill = (
+        f"(CAST(pow(2.0D, CAST((15 - {res}) * 3 AS DOUBLE)) AS BIGINT)"
+        " - 1)"
+    )
+    center = (
+        f"(576460752303423488 | (CAST({res} AS BIGINT) *"
+        f" 4503599627370496) | (CAST((shiftright({x}, 45) & 127) AS"
+        f" BIGINT) * 35184372088832) | {fill})"
+    )
+    pent = (
+        f"((shiftright({x}, 45) & 127) IN ({_PENT_IN_SQL})"
+        f" AND {x} = {center})"
+    )
+    digits = (
+        f"(CASE WHEN {pent} THEN array(0, 2, 3, 4, 5, 6)"
+        " ELSE array(0, 1, 2, 3, 4, 5, 6) END)"
+    )
+    return f"transform({digits}, d -> {base} + CAST(d AS BIGINT) * {off})"
+
+
 def uncompact_cells_df(
     cells: DataFrame,
     res: int,
     cell_col: str = "cell",
     min_res: int | None = None,
+    max_res: int | None = None,
 ) -> DataFrame:
     """Expand a mixed-res cell relation to uniform `res` (children
     explode; cells already at `res` pass through).
@@ -213,26 +250,43 @@ def uncompact_cells_df(
 
     min_res: optional caller-known coarsest input res — skips the one
     derivation job. Understating it only adds pass-through explode
-    levels (each row wraps in a 1-element array), never wrongness."""
+    levels (each row wraps in a 1-element array), never wrongness.
+
+    max_res: optional caller-known FINEST input res. When max_res <
+    res (a uniformly-coarse relation, e.g. a polygon cover), the
+    already-at-res pass-through branch is provably empty and is
+    skipped entirely — one fewer scan subtree, which on an un-reusable
+    source (local relation, RDD scan) is a whole stage (r7). Unlike
+    min_res this hint must be CORRECT: overstating it would route
+    at-res rows into the explode (harmless) but understating it would
+    drop finer-than-max_res rows from the pass-through."""
     spark = cells.sparkSession
-    out = cells.where(h3_resolution(cell_col) == res).select(cell_col)
-    todo = cells.where(h3_resolution(cell_col) < res).select(cell_col)
+    if max_res is not None and max_res < res:
+        out = None
+        todo = cells.select(cell_col)
+    else:
+        out = cells.where(h3_resolution(cell_col) == res).select(cell_col)
+        todo = cells.where(h3_resolution(cell_col) < res).select(cell_col)
     if min_res is None:
         min_res = todo.agg(F.min(h3_resolution(cell_col))).first()[0]
     if min_res is None:
-        return out
+        # todo is empty (nothing coarser than res); out covers the input
+        return out if out is not None else todo
     levels = res - int(min_res)
+    # one selectExpr SQL string per level (r7): the Column form of the
+    # children expression cost ~120 py4j round-trips per LEVEL — at 4
+    # levels that was ~0.5-0.7 s of pure driver latency per call on a
+    # slow gateway; the SQL text parses JVM-side in one call per level
+    # and yields the identical plan
+    level_expr = (
+        f"explode(CASE WHEN (shiftright({cell_col}, 52) & 15) < {res}"
+        f" THEN {children_one_level_sql(cell_col)}"
+        f" ELSE array({cell_col}) END) AS {cell_col}"
+    )
     for i in range(levels):
-        todo = todo.select(
-            F.explode(
-                F.when(
-                    h3_resolution(cell_col) < res,
-                    children_one_level_col(cell_col),
-                ).otherwise(F.array(F.col(cell_col)))
-            ).alias(cell_col)
-        )
+        todo = todo.selectExpr(level_expr)
         if (i + 1) % _MAX_EXPLODE_LEVELS == 0 and (i + 1) < levels:
             todo = todo.repartition(
                 max(spark.sparkContext.defaultParallelism, 1)
             )
-    return out.unionByName(todo)
+    return todo if out is None else out.unionByName(todo)

@@ -193,32 +193,28 @@ def seed_state(
     Returns (query_id, lat, lng, res_eff=res, ring) with the ring at
     BASE res (possibly huge); knn_join_distributed's entry escalation
     folds it to a bounded (res_eff, ring) pair."""
+    from ..functions.native import h3_to_parent_sql
     from ..functions.udfs import geo_disk_dyn_udf
 
     stages = [max(0, res - 4)]
     if stages[0] > 0:
         stages.append(max(0, stages[0] - 4))
 
-    keyed = images.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(si).alias("stage"),
-                        (
-                            images[cell_col]
-                            if rp == res
-                            else h3_to_parent_col(images[cell_col], rp)
-                        ).alias("pre_cell"),
-                    )
-                    for si, rp in enumerate(stages)
-                ]
-            )
-        ).alias("_pre")
-    ).select(
-        F.col("_pre.stage").alias("stage"),
-        F.col("_pre.pre_cell").alias("pre_cell"),
+    # SQL-text construction (r7): the Column form of this explode (two
+    # structs x parent bit math) plus the count/ring arithmetic below
+    # cost ~0.3 s of pure py4j round-trips per call; the strings parse
+    # JVM-side in one call each and yield identical plans (pinned by
+    # TestSeedingParity and the q29/q39 shared oracle).
+    cq = f"`{cell_col}`"
+    pre_items = ", ".join(
+        "named_struct('stage', {si}, 'pre_cell', {p})".format(
+            si=si, p=(cq if rp == res else h3_to_parent_sql(cq, rp))
+        )
+        for si, rp in enumerate(stages)
     )
+    keyed = images.selectExpr(
+        f"explode(array({pre_items})) AS _pre"
+    ).selectExpr("_pre.stage AS stage", "_pre.pre_cell AS pre_cell")
     pre_parts = [
         queries.select(
             "query_id",
@@ -252,48 +248,51 @@ def seed_state(
         pre.join(cell_counts, ["stage", "pre_cell"], "left")
         .groupBy("query_id")
         .agg(
-            F.sum(
-                F.when(F.col("stage") == 0, F.coalesce("nc", F.lit(0)))
-            ).alias("n0"),
-            F.sum(
-                F.when(F.col("stage") == 1, F.coalesce("nc", F.lit(0)))
-            ).alias("n1"),
+            F.expr(
+                "sum(CASE WHEN stage = 0 THEN coalesce(nc, 0) END)"
+                " AS n0"
+            ),
+            F.expr(
+                "sum(CASE WHEN stage = 1 THEN coalesce(nc, 0) END)"
+                " AS n1"
+            ),
         )
     )
     q2 = queries.join(counts, "query_id", "left")
 
     # fewer than k rows in the whole fine disk: the answer provably
     # extends beyond it, so the coarse-disk density is the better
-    # estimator (n0 == 0 is the ocean case)
-    use_coarse = (
-        (F.coalesce("n0", F.lit(0)) < k) & F.lit(len(stages) > 1)
+    # estimator (n0 == 0 is the ocean case). One selectExpr SQL string
+    # (r7) — same plan formula as the former Column chain.
+    two = "true" if len(stages) > 1 else "false"
+    use_coarse = f"(coalesce(n0, 0) < {int(k)} AND {two})"
+    rp = (
+        f"(CASE WHEN {use_coarse} THEN {stages[-1]}"
+        f" ELSE {stages[0]} END)"
     )
-    rp_col = F.when(use_coarse, F.lit(stages[-1])).otherwise(
-        F.lit(stages[0])
+    n = (
+        f"CAST(coalesce(CASE WHEN {use_coarse} THEN n1 ELSE n0 END, 0)"
+        " AS DOUBLE)"
     )
-    n_col = F.coalesce(
-        F.when(use_coarse, F.col("n1")).otherwise(F.col("n0")), F.lit(0)
-    ).cast("double")
-    # disk of 7 pre-cells covers ~7^(res-rp+1) base-res cells
-    cover = F.pow(F.lit(7.0), F.lit(res) - rp_col + F.lit(1))
-    density = n_col / cover  # fact rows per base-res cell
-    ring = F.when(
-        n_col > 0,
-        # ring holding ~3k expected rows (cells(r) ~= 3r^2)
-        F.ceil(F.lit(1.3) * F.sqrt(F.lit(float(k)) / density)) + 1,
-    ).otherwise(
+    # disk of 7 pre-cells covers ~7^(res-rp+1) base-res cells;
+    # density = n / cover = fact rows per base-res cell; the fine ring
+    # holds ~3k expected rows (cells(r) ~= 3r^2)
+    cover = f"pow(7.0D, {int(res)} - {rp} + 1)"
+    ring = (
+        f"(CASE WHEN {n} > 0 THEN"
+        f" ceil(1.3D * sqrt(CAST({int(k)} AS DOUBLE)"
+        f" / ({n} / {cover}))) + 1"
         # nothing even in the coarsest disk: start there
-        F.lit(_COARSEN_AT)
-        * F.pow(F.lit(7.0), F.floor((F.lit(res) - rp_col) / 2)).cast("long")
+        f" ELSE {_COARSEN_AT} * CAST(pow(7.0D,"
+        f" floor(({int(res)} - {rp}) / 2)) AS BIGINT) END)"
     )
-    return q2.select(
+    return q2.selectExpr(
         "query_id",
         "lat",
         "lng",
-        F.lit(int(res)).alias("res_eff"),
-        F.greatest(ring.cast("long"), F.lit(int(initial_ring))).alias(
-            "ring"
-        ),
+        f"CAST({int(res)} AS INT) AS res_eff",
+        f"greatest(CAST({ring} AS BIGINT),"
+        f" CAST({int(initial_ring)} AS BIGINT)) AS ring",
     )
 
 

@@ -38,6 +38,8 @@ null-island 5%, world 35% — skewed dense metros by construction.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -1570,9 +1572,15 @@ def q36_compact_distributed(spark, sf_dir):
     from .sources.datagen import SF_EXTERIOR
 
     cells_np = polyfill(SF_EXTERIOR, [], 9)
+    # pre-split parallelize instead of createDataFrame + repartition
+    # (r7, same as polyfill_distributed's cover): the repartition was a
+    # whole exchange whose only purpose was spreading the tiny fixture
     cells = spark.createDataFrame(
-        pd.DataFrame({"cell": cells_np}), "cell long"
-    ).repartition(8).persist()
+        spark.sparkContext.parallelize(
+            [(int(c),) for c in cells_np], 8
+        ),
+        "cell long",
+    ).persist()
     # n_in is the row count of the driver-built local relation — no job
     # needed (r7); the cells cache materializes inside comp.count()'s
     # kept_leaves branch, so dropping the count() removes a whole action
@@ -1631,6 +1639,33 @@ AS t(n_in, n_compact, n_uncompact, n_sym_diff, n_antichain_violations)
 """
 
 
+@_functools.lru_cache(maxsize=4)
+def _q37_driver_consts(res: int):
+    """q37's driver-side fixture derivations (octagon geometry, the
+    driver-refuse probe, the coarse polyfill count, spherical area) —
+    all pure functions of the fixed fixture constants, memoized (r7,
+    same pattern as pip_join._build_cells_cached): re-deriving them
+    cost ~0.4 s per rep and nothing from the sf inputs enters the
+    memo. The distributed fine count n stays live per call."""
+    from .h3core import regions
+
+    ang = np.linspace(0.0, 2.0 * np.pi, 9)[:-1]
+    ext = tuple(
+        (30.0 + 8.0 * np.cos(a), 20.0 + 8.0 * np.sin(a)) for a in ang
+    )
+    hole = tuple(
+        (30.0 + 1.5 * np.cos(a), 20.0 + 1.5 * np.sin(a)) for a in ang
+    )
+    try:
+        regions.polyfill(ext, [hole], res)
+        driver_refuses = False
+    except ValueError:
+        driver_refuses = True
+    n_coarse = int(regions.polyfill(ext, [hole], 5).shape[0])
+    area = regions.ring_area_m2(ext) - regions.ring_area_m2(hole)
+    return ext, hole, driver_refuses, n_coarse, area
+
+
 def q37_polyfill_distributed(spark, sf_dir):
     """Continent-scale polyfill: a polygon whose bbox candidate
     count exceeds the driver cap (regions.MAX_POLYFILL_CELLS) must (a)
@@ -1639,28 +1674,18 @@ def q37_polyfill_distributed(spark, sf_dir):
     boundary effects ~perimeter/area) and with the polygon's spherical
     area. Reference parity: polyfill is the flagship region op
     (src/region.rs:49-59); this is its at-scale form."""
-    from .h3core import regions
-    from .h3core import hex_area_m2
     from .operators.polyfill_dist import polyfill_distributed
 
-    ang = np.linspace(0.0, 2.0 * np.pi, 9)[:-1]
-    ext = [(30.0 + 8.0 * np.cos(a), 20.0 + 8.0 * np.sin(a)) for a in ang]
-    hole = [(30.0 + 1.5 * np.cos(a), 20.0 + 1.5 * np.sin(a)) for a in ang]
     res = 8  # bbox estimate ~2.5e7 candidates: over the driver cap
-
-    try:
-        regions.polyfill(ext, [hole], res)
-        driver_refuses = False
-    except ValueError:
-        driver_refuses = True
+    ext, hole, driver_refuses, n_coarse, area = _q37_driver_consts(res)
 
     n = polyfill_distributed(spark, ext, [hole], res).count()
 
     coarse = 5
-    n_coarse = regions.polyfill(ext, [hole], coarse).shape[0]
     scale_ratio = n / (n_coarse * 7 ** (res - coarse))
 
-    area = regions.ring_area_m2(ext) - regions.ring_area_m2(hole)
+    from .h3core import hex_area_m2
+
     area_ratio = n * hex_area_m2(res) / area
     # the EXACT fine and coarse cell counts are returned as values and
     # pinned by the oracle; the consistency ratios are now ALSO pinned

@@ -560,6 +560,41 @@ def test_uncompact_staged_multilevel(spark):
     assert got == want
 
 
+def test_children_one_level_sql_parity(spark):
+    """The SQL-text twin of children_one_level_col (r7 driver-latency
+    fix) must produce the exact same children arrays, including the
+    pentagon digit skip and across resolutions."""
+    from h3_rs_spark.operators.hierarchy_ops import (
+        children_one_level_col,
+        children_one_level_sql,
+    )
+
+    # res-0 pentagon, a res-2 hexagon, a res-8 hexagon, res-1 pentagon
+    cells = [
+        0x8031FFFFFFFFFFF,
+        0x824887FFFFFFFFF,
+        0x8828309769FFFFF,
+        0x81083FFFFFFFFFF,
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"cell": cells}))
+    col_form = {
+        r["cell"]: sorted(r["kids"])
+        for r in df.select(
+            "cell", children_one_level_col("cell").alias("kids")
+        ).collect()
+    }
+    sql_form = {
+        r["cell"]: sorted(r["kids"])
+        for r in df.selectExpr(
+            "cell", f"{children_one_level_sql('cell')} AS kids"
+        ).collect()
+    }
+    assert col_form == sql_form
+    # pentagons skip the K digit: 6 children, hexagons 7
+    assert len(sql_form[0x8031FFFFFFFFFFF]) == 6
+    assert len(sql_form[0x824887FFFFFFFFF]) == 7
+
+
 class TestPipBuildStrategy:
     def test_compacted_path_equals_expanded(self, spark, images, monkeypatch):
         """The cost-based build strategy must not change RESULTS: force

@@ -29,7 +29,37 @@ def main():
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if name == "bench_q14":
+    if name in ("bench_knn_images", "bench_tile", "bench_pip"):
+        from pyspark.sql import functions as F
+
+        import bench as B
+        from h3_rs_spark.operators.knn import knn_join
+        from h3_rs_spark.operators.pip_join import pip_count
+        from h3_rs_spark.operators.tiling import tile_assign
+        from h3_rs_spark.sources import datagen
+
+        sf = B._sf()
+        images_path = B.ensure_images(spark, sf)
+
+        def fn(spark, sf_dir, _path=images_path):
+            images = spark.read.parquet(_path)
+            if name == "bench_knn_images":
+                return knn_join(
+                    spark, images,
+                    datagen.generate_knn_queries(spark, n=32, k=10),
+                    k=10, res=9,
+                )
+            if name == "bench_tile":
+                tile_input = images.limit(20_000).repartition(CPUS)
+                return (
+                    tile_assign(tile_input, tile_px=8, res=15)
+                    .groupBy("cell").count()
+                    .orderBy(F.desc("count")).limit(10)
+                )
+            polys9 = {k: v for k, v in datagen.POLYGONS.items()
+                      if v[2] == 9}
+            return pip_count(spark, images, polys9)
+    elif name == "bench_q14":
         from h3_rs_spark.operators import dedup
 
         def fn(spark, sf_dir):
