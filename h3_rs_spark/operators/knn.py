@@ -17,11 +17,11 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
-from ..functions.native import h3_to_parent_col, haversine_m_col
+from ..functions.native import EARTH_RADIUS_M, h3_to_parent_col
 
 from ..h3core.constants import EDGE_LENGTH_M
 
@@ -450,6 +450,32 @@ def _guaranteed_radius_col(ring_col, res_col):
     )
 
 
+# SQL-text twins for the round-loop hot path (r7 driver-latency work):
+# operation-for-operation mirrors of haversine_m_col(q_lat, q_lng, lat,
+# lng) and _guaranteed_radius_col(ring, res_eff), so the expression
+# trees — and therefore every double — are identical to the Column
+# forms (repr() round-trips literals; the D suffix keeps them DOUBLE,
+# not DECIMAL). Pinned by tests/test_operators.py::test_knn_sql_parity.
+_HAVERSINE_SQL = (
+    f"({2.0 * EARTH_RADIUS_M!r}D * ASIN(SQRT("
+    "POWER(SIN(RADIANS(lat - q_lat) / 2), 2)"
+    " + COS(RADIANS(q_lat)) * COS(RADIANS(lat))"
+    " * POWER(SIN(RADIANS(lng - q_lng) / 2), 2))))"
+)
+
+_EDGE_ARR_SQL = "ARRAY(" + ", ".join(
+    f"{float(e)!r}D" for e in EDGE_LENGTH_M
+) + ")"
+
+
+def _safe_radius_sql() -> str:
+    return (
+        "GREATEST(0.0D, (((ring + 1) * 0.866D) - 1.16D)"
+        f" * ({_MIN_SPACING_FACTOR!r}D"
+        f" * ELEMENT_AT({_EDGE_ARR_SQL}, res_eff + 1)))"
+    )
+
+
 def knn_join_distributed(
     spark: SparkSession,
     images: DataFrame,
@@ -612,34 +638,43 @@ def knn_join_distributed(
         # join (both were full-query-set shuffles at the 10^7 shape).
         # ring/res_eff travel with the candidate rows, so the
         # completion proof evaluates in-plan, per row.
-        w = Window.partitionBy("query_id").orderBy("dist_m", "image_id")
-        wq = Window.partitionBy("query_id")
-        kept = (
-            matched.withColumn(
-                "dist_m",
-                haversine_m_col(
-                    F.col("q_lat"), F.col("q_lng"), F.col("lat"), F.col("lng")
-                ),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+        # Built as SQL text (r7): the Column form of this chain
+        # (haversine + two window scopes + the completion predicate)
+        # cost ~250 py4j round-trips per round of pure driver latency;
+        # the strings parse JVM-side in four calls and produce the
+        # SAME expression trees operation-for-operation (doubles stay
+        # bit-identical — pinned by the kNN oracle tests).
+        eq_sql = (
+            f"(ring * CAST(POW(7.0D, FLOOR(({int(res)} - res_eff) / 2))"
+            " AS BIGINT))"
         )
-        safe = _guaranteed_radius_col(F.col("ring"), F.col("res_eff"))
+        kept = (
+            matched.selectExpr("*", f"{_HAVERSINE_SQL} AS dist_m")
+            .selectExpr(
+                "*",
+                "ROW_NUMBER() OVER (PARTITION BY query_id"
+                " ORDER BY dist_m, image_id) AS rank",
+            )
+            .where(f"rank <= {int(k)}")
+        )
+        topk = (
+            kept.selectExpr(
+                "query_id", "image_id", "dist_m", "rank", "ring",
+                "res_eff",
+                "COUNT(*) OVER (PARTITION BY query_id) AS _n",
+                "MAX(dist_m) OVER (PARTITION BY query_id) AS _mx",
+            )
+            .selectExpr(
+                "query_id", "image_id", "dist_m", "rank",
+                f"(((_n >= {int(k)}) AND (_mx <= {_safe_radius_sql()}))"
+                f" OR ({eq_sql} >= {int(max_ring)})"
+                " OR ((res_eff = 0) AND (ring >= 32))) AS _done",
+            )
+            .persist()
+        )
         eq_base_ring = F.col("ring") * F.pow(
             F.lit(7.0), F.floor((F.lit(res) - F.col("res_eff")) / 2)
         ).cast("long")
-        topk = (
-            kept.withColumn("_n", F.count("*").over(wq))
-            .withColumn("_mx", F.max("dist_m").over(wq))
-            .withColumn(
-                "_done",
-                ((F.col("_n") >= k) & (F.col("_mx") <= safe))
-                | (eq_base_ring >= F.lit(max_ring))
-                | ((F.col("res_eff") == 0) & (F.col("ring") >= 32)),
-            )
-            .select("query_id", "image_id", "dist_m", "rank", "_done")
-            .persist()
-        )
         to_unpersist.append(topk)
         round_res = topk.where(F.col("_done")).select(
             "query_id", "image_id", "dist_m", "rank"

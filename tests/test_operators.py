@@ -560,6 +560,52 @@ def test_uncompact_staged_multilevel(spark):
     assert got == want
 
 
+def test_knn_sql_parity(spark):
+    """The kNN round loop's SQL-text haversine and guaranteed-radius
+    expressions (r7 driver-latency fix) must be BIT-identical to the
+    Column forms — rank ties and the completion proof depend on exact
+    doubles."""
+    from h3_rs_spark.functions.native import haversine_m_col
+    from h3_rs_spark.operators.knn import (
+        _HAVERSINE_SQL,
+        _guaranteed_radius_col,
+        _safe_radius_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+            "lng": rng.uniform(-180, 180, n),
+            "q_lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+            "q_lng": rng.uniform(-180, 180, n),
+            "ring": rng.integers(1, 10_000, n).astype(np.int64),
+            # the loop state carries res_eff as INT (state select casts)
+            "res_eff": rng.integers(0, 16, n).astype(np.int32),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    want = df.select(
+        haversine_m_col(
+            F.col("q_lat"), F.col("q_lng"), F.col("lat"), F.col("lng")
+        ).alias("h"),
+        _guaranteed_radius_col(F.col("ring"), F.col("res_eff")).alias(
+            "s"
+        ),
+    ).toPandas()
+    got = df.selectExpr(
+        f"{_HAVERSINE_SQL} AS h", f"{_safe_radius_sql()} AS s"
+    ).toPandas()
+    # bitwise equality, not approx: the trees must be identical
+    assert (
+        want["h"].to_numpy().tobytes() == got["h"].to_numpy().tobytes()
+    )
+    assert (
+        want["s"].to_numpy().tobytes() == got["s"].to_numpy().tobytes()
+    )
+
+
 def test_children_one_level_sql_parity(spark):
     """The SQL-text twin of children_one_level_col (r7 driver-latency
     fix) must produce the exact same children arrays, including the
