@@ -53,7 +53,10 @@ for _d in range(1, 16):
 
 
 def compact_cells_df(
-    cells: DataFrame, cell_col: str = "cell", res: int | None = None
+    cells: DataFrame,
+    cell_col: str = "cell",
+    res: int | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Minimal multi-res covering set of a uniform-res cell relation.
 
@@ -79,13 +82,23 @@ def compact_cells_df(
     tests/test_operators.py round-trip/idempotence tests.
 
     res: optional caller-known uniform resolution — skips the one
-    derivation job (r7; callers holding a fresh polyfill know it)."""
+    derivation job (r7; callers holding a fresh polyfill know it).
+
+    assume_distinct: the contract above already REQUIRES distinct
+    input; True additionally skips the defensive distinct() exchange
+    (r7) — for callers whose relation is distinct by construction
+    (a polyfill output). Passing duplicate rows with True inflates
+    the ancestor counts and corrupts the result, so the safe default
+    stays False."""
     if res is None:
         res = cells.select(F.max(h3_resolution(cell_col))).first()[0]
     if res is None:
         return cells
     res = int(res)
-    distinct = cells.select(cell_col).distinct()
+    if assume_distinct:
+        distinct = cells.select(cell_col)
+    else:
+        distinct = cells.select(cell_col).distinct()
     if res == 0:
         return distinct
     anc = distinct.select(F.explode(ancestors_col(cell_col)).alias("_anc"))

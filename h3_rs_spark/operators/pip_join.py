@@ -209,14 +209,36 @@ def _maybe_expand_build(build_pdf: pd.DataFrame, polygons: dict) -> pd.DataFrame
     return pd.concat(frames, ignore_index=True)
 
 
-def _refine_boundary(joined: DataFrame, polygons: dict) -> DataFrame:
-    """Exact PIP for rows matched via boundary cells.
+_REFINE_UDF_CACHE: dict = {}
 
-    Single Arrow pass over the matched rows; the ray-casting kernel runs
-    only on the boundary-matched subset (interior matches short-circuit
-    to True inside the batch), so the plan keeps one probe scan and the
-    Python cost is proportional to boundary matches, not all matches.
-    """
+
+def _refine_udf_cached(polygons: dict):
+    """The boundary-refine pandas UDF, memoized on polygon geometry
+    content (r7): each call otherwise re-cloudpickles the closure and
+    re-registers it via py4j. Session-independent (the UDF object
+    carries only the geometry arrays), same pattern as the
+    functions/udfs.py factory lru_caches; bounded."""
+    key = tuple(
+        (
+            pid,
+            np.asarray(ext, dtype=np.float64).tobytes(),
+            tuple(
+                np.asarray(h, dtype=np.float64).tobytes()
+                for h in (holes or [])
+            ),
+        )
+        for pid, (ext, holes, _res) in sorted(polygons.items())
+    )
+    hit = _REFINE_UDF_CACHE.get(key)
+    if hit is None:
+        hit = _build_refine_udf(polygons)
+        if len(_REFINE_UDF_CACHE) >= 16:
+            _REFINE_UDF_CACHE.pop(next(iter(_REFINE_UDF_CACHE)))
+        _REFINE_UDF_CACHE[key] = hit
+    return hit
+
+
+def _build_refine_udf(polygons: dict):
     geoms = {pid: (ext, holes) for pid, (ext, holes, _res) in polygons.items()}
 
     @F.pandas_udf(BooleanType())
@@ -242,7 +264,19 @@ def _refine_boundary(joined: DataFrame, polygons: dict) -> DataFrame:
             out[mask] = res
         return pd.Series(out)
 
-    return joined.where(_pip("polygon_id", "lat", "lng", "is_boundary"))
+    return _pip
+
+
+def _refine_boundary(joined: DataFrame, polygons: dict) -> DataFrame:
+    """Exact PIP for rows matched via boundary cells.
+
+    Single Arrow pass over the matched rows; the ray-casting kernel runs
+    only on the boundary-matched subset (interior matches short-circuit
+    to True inside the batch), so the plan keeps one probe scan and the
+    Python cost is proportional to boundary matches, not all matches.
+    """
+    pip_udf = _refine_udf_cached(polygons)
+    return joined.where(pip_udf("polygon_id", "lat", "lng", "is_boundary"))
 
 
 def pip_count(spark, images, polygons, **kw) -> DataFrame:

@@ -1591,7 +1591,9 @@ def q36_compact_distributed(spark, sf_dir):
     # min_res: understating it (e.g. 0) adds pass-through explode
     # levels AND an extra mid-expansion repartition shuffle, measured
     # as a net loss vs the one cheap derivation job over the cache.
-    comp = compact_cells_df(cells, res=9).persist()
+    # the polyfill fixture is distinct by construction — skip compact's
+    # defensive distinct() exchange (r7)
+    comp = compact_cells_df(cells, res=9, assume_distinct=True).persist()
     n_comp = comp.count()
     back = uncompact_cells_df(comp, 9).distinct()
     # n_back and the symmetric difference in ONE aggregation job (r7,
