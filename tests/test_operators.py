@@ -560,6 +560,28 @@ def test_uncompact_staged_multilevel(spark):
     assert got == want
 
 
+def test_polyfill_distributed_plan_shape(spark):
+    """r7: the distributed-polyfill candidate pipeline must stay a
+    single narrow pipeline — cover pre-split via parallelize (no
+    repartition Exchange), pass-through branch skipped (no Union),
+    children explode pure JVM (exactly one ArrowEvalPython: the
+    centroid filter)."""
+    from h3_rs_spark.operators.polyfill_dist import polyfill_distributed
+
+    # big enough that pick_coarse_res chooses coarse_res < res (the
+    # shape under test); plan-only, nothing executes
+    ext = [(0.0, 0.0), (0.0, 1.5), (1.5, 1.5), (1.5, 0.0)]
+    df = polyfill_distributed(spark, ext, [], 9)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    # formatted explain names each node twice (tree + detail); count
+    # tree entries like "ArrowEvalPython (4)"
+    assert plan.count("ArrowEvalPython (") == 1
+    assert "Union" not in plan
+
+
 def test_knn_sql_parity(spark):
     """The kNN round loop's SQL-text haversine and guaranteed-radius
     expressions (r7 driver-latency fix) must be BIT-identical to the
