@@ -279,8 +279,8 @@ def _expand_member_pairs(
     # construction (the join-back filters _n >= 2)
     multi = members
     if cap:
-        small = multi.where(F.col("_n") <= cap)
-        hot = multi.where(F.col("_n") > cap)
+        small = multi.where(f"_n <= {int(cap)}")
+        hot = multi.where(f"_n > {int(cap)}")
     else:
         small, hot = multi, multi.limit(0)
     # only multi-member groups need any expansion at all: a singleton
@@ -291,42 +291,33 @@ def _expand_member_pairs(
     # tiny on a mostly-unique corpus, where AQE then broadcasts it and
     # the pair relation never shuffles; on a dup-heavy corpus the join
     # grows exactly with the inherent output
-    ma = small.select(
-        F.col("_rep").alias("id_a"), F.col("id").alias("_ma")
-    )
-    mb = small.select(
-        F.col("_rep").alias("id_b"), F.col("id").alias("_mb")
-    )
+    # expression text (r7): these selects cost ~0.2 s of py4j
+    # round-trips per call in Column form; trees identical
+    ma = small.selectExpr("_rep AS id_a", "id AS _ma")
+    mb = small.selectExpr("_rep AS id_b", "id AS _mb")
     cross = (
         rep_pairs.join(ma, "id_a", "left")
         .join(mb, "id_b", "left")
-        .select(
-            F.least(
-                F.coalesce("_ma", "id_a"), F.coalesce("_mb", "id_b")
-            ).alias("id_a"),
-            F.greatest(
-                F.coalesce("_ma", "id_a"), F.coalesce("_mb", "id_b")
-            ).alias("id_b"),
-            F.col(metric_col),
+        .selectExpr(
+            "least(coalesce(_ma, id_a), coalesce(_mb, id_b)) AS id_a",
+            "greatest(coalesce(_ma, id_a), coalesce(_mb, id_b))"
+            " AS id_b",
+            f"`{metric_col}`",
         )
     )
+    exact_lit = F.lit(exact_value).cast(metric_type).alias(metric_col)
     within = (
         small.alias("x")
         .join(
             small.alias("y"),
-            (F.col("x._rep") == F.col("y._rep"))
-            & (F.col("x.id") < F.col("y.id")),
+            F.expr("x._rep = y._rep AND x.id < y.id"),
         )
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.lit(exact_value).cast(metric_type).alias(metric_col),
+            F.expr("x.id AS id_a"), F.expr("y.id AS id_b"), exact_lit
         )
     )
-    star = hot.where(F.col("id") != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"),
-        F.col("id").alias("id_b"),
-        F.lit(exact_value).cast(metric_type).alias(metric_col),
+    star = hot.where("id != _rep").select(
+        F.expr("_rep AS id_a"), F.expr("id AS id_b"), exact_lit
     )
     return cross.unionByName(within).unionByName(star)
 
@@ -389,21 +380,21 @@ def _bucket_pairs(
             F.lit(0).cast("long").alias("skipped_pairs"),
         )
         return pairs.dropDuplicates(["id_a", "id_b"])
-    counts = banded.groupBy(*keys).agg(F.count("*").alias("_bc"))
-    is_hot = F.col("_bc") > cap
+    # expression text throughout this function (r7): the Column forms
+    # cost ~0.24 s of py4j round-trips per call; the strings parse
+    # JVM-side in one call each with identical trees
+    counts = banded.groupBy(*keys).agg(F.expr("count(*) AS _bc"))
     _LAST_BUCKET_STATS = counts.agg(
-        F.sum(is_hot.cast("long")).alias("hot_buckets"),
-        F.sum(F.when(is_hot, F.col("_bc")).otherwise(0)).alias(
-            "hot_memberships"
+        F.expr(f"sum(CAST((_bc > {cap}) AS BIGINT)) AS hot_buckets"),
+        F.expr(
+            f"sum(CASE WHEN _bc > {cap} THEN _bc ELSE 0 END)"
+            " AS hot_memberships"
         ),
-        F.sum(
-            F.when(
-                is_hot,
-                (F.col("_bc") * (F.col("_bc") - 1) / 2) - (F.col("_bc") - 1),
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("skipped_pairs"),
+        F.expr(
+            f"CAST(sum(CASE WHEN _bc > {cap} THEN"
+            " ((_bc * (_bc - 1) / 2) - (_bc - 1)) ELSE 0 END)"
+            " AS BIGINT) AS skipped_pairs"
+        ),
     )
     if window_form:
         # one selectExpr with SQL text (r7): same plan as the
@@ -415,27 +406,25 @@ def _bucket_pairs(
             f"count(*) OVER (PARTITION BY {part}) AS _bc",
             f"min(id) OVER (PARTITION BY {part}) AS _anchor",
         )
-        normal = counted.where(F.col("_bc") <= cap).drop("_bc", "_anchor")
+        normal = counted.where(f"_bc <= {cap}").drop("_bc", "_anchor")
         star = counted.where(
-            (F.col("_bc") > cap) & (F.col("id") != F.col("_anchor"))
-        ).select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+            f"_bc > {cap} AND id != _anchor"
+        ).selectExpr("_anchor AS id_a", "id AS id_b")
     else:
         counted = banded.join(counts, keys)
-        normal = counted.where(F.col("_bc") <= cap).drop("_bc")
-        hot = counted.where(F.col("_bc") > cap).drop("_bc")
-        anchors = hot.groupBy(*keys).agg(F.min("id").alias("_anchor"))
+        normal = counted.where(f"_bc <= {cap}").drop("_bc")
+        hot = counted.where(f"_bc > {cap}").drop("_bc")
+        anchors = hot.groupBy(*keys).agg(F.expr("min(id) AS _anchor"))
         star = (
             hot.join(anchors, keys)
-            .where(F.col("id") != F.col("_anchor"))
-            .select(F.col("_anchor").alias("id_a"), F.col("id").alias("id_b"))
+            .where("id != _anchor")
+            .selectExpr("_anchor AS id_a", "id AS id_b")
         )
     a, b = normal.alias("a"), normal.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    for k in keys:
-        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
-    pairs = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    cond = F.expr(
+        " AND ".join(f"a.{k} = b.{k}" for k in keys) + " AND a.id < b.id"
     )
+    pairs = a.join(b, cond).selectExpr("a.id AS id_a", "b.id AS id_b")
     return pairs.unionByName(star).dropDuplicates(["id_a", "id_b"])
 
 
